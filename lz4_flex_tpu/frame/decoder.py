@@ -1,0 +1,257 @@
+"""Streaming LZ4 frame decoder.
+
+Capability parity with lz4_flex's FrameDecoder (src/frame/decompress.rs:48-422):
+incremental header parsing (standard, legacy-short-header and skippable
+frames), stored and compressed blocks, linked-block 64 KiB window carry-over,
+block/content checksum verification, content-size validation, and the
+reference's frame-boundary contract — ``read`` returns 0 at the end of each
+frame and a subsequent ``read`` resumes with the next concatenated frame.
+
+Extension over the reference: within a legacy frame, a magic-number word in
+block position starts the next frame (matching the C lz4 CLI) instead of
+erroring, and ``read_all()`` drains every concatenated frame at once.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+from ..spec.constants import (
+    LZ4F_LEGACY_MAGIC_NUMBER,
+    LZ4F_MAGIC_NUMBER,
+    LZ4F_SKIPPABLE_MAGIC_MAX,
+    LZ4F_SKIPPABLE_MAGIC_MIN,
+    MAGIC_NUMBER_SIZE,
+    MIN_FRAME_INFO_SIZE,
+    WINDOW_SIZE,
+)
+from ..block.errors import DecompressError
+from ..utils.checksum import XxHash32, xxh32
+from . import errors
+from .header import BlockInfo, BlockInfoKind, BlockMode, FrameInfo
+
+try:
+    from .. import native as _native
+
+    _HAVE_NATIVE = _native.available()
+except Exception:  # pragma: no cover
+    _native = None
+    _HAVE_NATIVE = False
+
+if not _HAVE_NATIVE:  # pragma: no cover
+    from ..spec import golden as _golden
+
+
+def _is_any_magic(word: int) -> bool:
+    return (
+        word == LZ4F_MAGIC_NUMBER
+        or word == LZ4F_LEGACY_MAGIC_NUMBER
+        or LZ4F_SKIPPABLE_MAGIC_MIN <= word <= LZ4F_SKIPPABLE_MAGIC_MAX
+    )
+
+
+class FrameDecoder(io.RawIOBase):
+    """A reader decompressing an LZ4 frame from an underlying stream."""
+
+    def __init__(self, r) -> None:
+        super().__init__()
+        self._r = r
+        self._pushback = b""  # bytes read ahead of the current position
+        self._frame_info: FrameInfo | None = None
+        self._content_hasher = XxHash32(0)
+        self._content_len = 0
+        self._window = b""
+        self._out = b""
+        self._out_pos = 0
+
+    # -- accessors ------------------------------------------------------------
+
+    def get_ref(self):
+        return self._r
+
+    def get_mut(self):
+        return self._r
+
+    def into_inner(self):
+        return self._r
+
+    @property
+    def frame_info(self) -> FrameInfo | None:
+        """FrameInfo of the frame currently being decoded (None between frames)."""
+        return self._frame_info
+
+    def readable(self) -> bool:
+        return True
+
+    # -- low-level input ------------------------------------------------------
+
+    def _read_upto(self, n: int) -> bytes:
+        if self._pushback:
+            take, self._pushback = self._pushback[:n], self._pushback[n:]
+            if len(take) == n:
+                return take
+            rest = self._r.read(n - len(take)) or b""
+            return take + rest
+        return self._r.read(n) or b""
+
+    def _read_exact(self, n: int) -> bytes:
+        chunks = []
+        got = 0
+        while got < n:
+            b = self._read_upto(n - got)
+            if not b:
+                raise errors.FrameError(
+                    f"unexpected end of stream: needed {n} bytes, got {got}"
+                )
+            chunks.append(b)
+            got += len(b)
+        return b"".join(chunks)
+
+    # -- frame parsing ----------------------------------------------------------
+
+    def _read_frame_info(self) -> bool:
+        """Parse the next frame header. Returns False on clean EOF."""
+        head = self._read_upto(MAGIC_NUMBER_SIZE)
+        if not head:
+            return False
+        if len(head) < MAGIC_NUMBER_SIZE:
+            head += self._read_exact(MAGIC_NUMBER_SIZE - len(head))
+        (magic,) = struct.unpack("<I", head)
+        if magic != LZ4F_LEGACY_MAGIC_NUMBER:
+            head += self._read_exact(MIN_FRAME_INFO_SIZE - MAGIC_NUMBER_SIZE)
+        required = FrameInfo.read_size(head)
+        if required > len(head):
+            head += self._read_exact(required - len(head))
+        frame_info = FrameInfo.read(head)  # raises SkippableFrame for skippables
+        if frame_info.dict_id is not None:
+            raise errors.DictionaryNotSupported()
+        self._frame_info = frame_info
+        self._content_hasher = XxHash32(0)
+        self._content_len = 0
+        self._window = b""
+        self._out = b""
+        self._out_pos = 0
+        return True
+
+    def _check_block_checksum(self, data: bytes) -> None:
+        (expected,) = struct.unpack("<I", self._read_exact(4))
+        if xxh32(data, 0) != expected:
+            raise errors.BlockChecksumError()
+
+    def _decompress_block(self, comp: bytes, max_block_size: int) -> bytes:
+        window = self._window
+        try:
+            if _HAVE_NATIVE:
+                return _native.decompress_block(comp, max_block_size, ext_dict=window)
+            return _golden.decompress_block(comp, max_block_size, ext_dict=window)
+        except DecompressError as e:
+            raise errors.DecompressionError(e) from e
+
+    def _end_of_frame(self) -> None:
+        fi = self._frame_info
+        if fi.content_size is not None and self._content_len != fi.content_size:
+            raise errors.ContentLengthError(fi.content_size, self._content_len)
+        if fi.content_checksum:
+            (expected,) = struct.unpack("<I", self._read_exact(4))
+            if self._content_hasher.digest() != expected:
+                raise errors.ContentChecksumError()
+        self._frame_info = None
+
+    def _read_block(self) -> int:
+        """Decode the next block into the output buffer. Returns its size
+        (0 = end of frame or stream)."""
+        fi = self._frame_info
+        max_block_size = fi.block_size.get_size()
+
+        word_bytes = self._read_upto(4)
+        if len(word_bytes) == 0:
+            # EOF at a block boundary ends the stream cleanly.
+            self._frame_info = None
+            return 0
+        if len(word_bytes) < 4:
+            word_bytes += self._read_exact(4 - len(word_bytes))
+
+        if fi.legacy_frame:
+            (word,) = struct.unpack("<I", word_bytes)
+            if _is_any_magic(word):
+                # Next frame follows immediately (no end mark in legacy frames).
+                self._pushback = word_bytes + self._pushback
+                self._frame_info = None
+                return 0
+            if word > 16 + 4 + (8 * 1024 * 1024 * 110) // 100:
+                raise errors.BlockTooBig()
+            comp = self._read_exact(word)
+            out = self._decompress_block(comp, max_block_size)
+            self._append_output(out)
+            return len(out)
+
+        info = BlockInfo.read(word_bytes)
+        if info.kind is BlockInfoKind.EndMark:
+            self._end_of_frame()
+            return 0
+        if info.size > max_block_size:
+            raise errors.BlockTooBig()
+        payload = self._read_exact(info.size)
+        if fi.block_checksums:
+            self._check_block_checksum(payload)
+        if info.kind is BlockInfoKind.Uncompressed:
+            out = payload
+        else:
+            out = self._decompress_block(payload, max_block_size)
+        self._append_output(out)
+        return len(out)
+
+    def _append_output(self, out: bytes) -> None:
+        fi = self._frame_info
+        self._out = out
+        self._out_pos = 0
+        self._content_len += len(out)
+        if fi.content_checksum:
+            self._content_hasher.write(out)
+        if fi.block_mode == BlockMode.Linked:
+            self._window = (self._window + out)[-WINDOW_SIZE:]
+
+    # -- io.RawIOBase surface ----------------------------------------------------
+
+    def readinto(self, b) -> int:
+        view = memoryview(b)
+        if len(view) == 0:
+            return 0
+        while True:
+            avail = len(self._out) - self._out_pos
+            if avail > 0:
+                n = min(avail, len(view))
+                view[:n] = self._out[self._out_pos : self._out_pos + n]
+                self._out_pos += n
+                return n
+            if self._frame_info is None:
+                if not self._read_frame_info():
+                    return 0
+            if self._read_block() == 0:
+                # Frame boundary: signal EOF; the next read resumes with the
+                # next concatenated frame (reference contract).
+                return 0
+
+    def read_all(self) -> bytes:
+        """Drain every concatenated frame from the stream (extension)."""
+        chunks = []
+        while True:
+            got = self.readall()  # reads until a frame boundary
+            if got:
+                chunks.append(got)
+                continue
+            # A zero-length result is either a frame boundary or true EOF;
+            # probe for another frame.
+            if self._frame_info is None and not self._probe_next_frame():
+                break
+        return b"".join(chunks)
+
+    def _probe_next_frame(self) -> bool:
+        head = self._read_upto(1)
+        if not head:
+            return False
+        self._pushback = head + self._pushback
+        return True

@@ -1,0 +1,519 @@
+// Native host runtime for the TPU-native LZ4 framework.
+//
+// Plays the role the reference implementation's Rust hot loops play on the
+// host side (capability parity with lz4_flex src/block/{compress,decompress*}.rs):
+// a greedy hash-table block encoder, a token-walk block decoder, xxHash32, and
+// a sequence-table parser that feeds the TPU decode kernels. All functions are
+// exposed through a C ABI consumed via ctypes.
+//
+// This is a from-scratch implementation of the public LZ4 block format
+// (https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+#define TLZ4_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Format constants (see lz4_flex_tpu/spec/constants.py)
+// ---------------------------------------------------------------------------
+constexpr size_t WINDOW_SIZE = 64 * 1024;
+constexpr size_t MFLIMIT = 12;
+constexpr size_t END_OFFSET = 6;
+constexpr size_t LZ4_MIN_LENGTH = 13;
+constexpr size_t MAX_DISTANCE = 65535;
+constexpr size_t MINMATCH = 4;
+constexpr size_t TABLE_SIZE = 4096;
+constexpr unsigned STEP_SHIFT = 5;
+
+inline uint16_t load16(const uint8_t* p) { uint16_t v; std::memcpy(&v, p, 2); return v; }
+inline uint32_t load32(const uint8_t* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+inline uint64_t load64(const uint8_t* p) { uint64_t v; std::memcpy(&v, p, 8); return v; }
+inline void store16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+
+// 4-byte Knuth multiplicative hash -> 12-bit table slot.
+inline size_t hash4_at(const uint8_t* p) {
+    return ((load32(p) * 2654435761u) >> 16) >> 4;
+}
+// 5-byte hash -> 12-bit table slot (used whenever positions may exceed u16).
+inline size_t hash5_at(const uint8_t* p) {
+    return (((load64(p) << 24) * 889523592379ULL) >> 48) >> 4;
+}
+inline size_t hash_at(const uint8_t* p, int use_hash5) {
+    return use_hash5 ? hash5_at(p) : hash4_at(p);
+}
+
+// Number of leading equal bytes between a and b, at most `limit`.
+inline size_t common_prefix(const uint8_t* a, const uint8_t* b, size_t limit) {
+    size_t n = 0;
+    while (n + 8 <= limit) {
+        uint64_t diff = load64(a + n) ^ load64(b + n);
+        if (diff) return n + (__builtin_ctzll(diff) >> 3);
+        n += 8;
+    }
+    while (n < limit && a[n] == b[n]) n++;
+    return n;
+}
+
+struct ByteWriter {
+    uint8_t* out;
+    size_t pos;
+    size_t cap;
+    inline void byte(uint8_t b) { out[pos++] = b; }
+    inline void u16le(uint16_t v) { store16(out + pos, v); pos += 2; }
+    // LSIC length extension: 0xFF bytes followed by the remainder.
+    inline void lsic(size_t n) {
+        while (n >= 0xFF) { out[pos++] = 0xFF; n -= 0xFF; }
+        out[pos++] = (uint8_t)n;
+    }
+};
+
+inline void emit_last_literals(ByteWriter& w, const uint8_t* input, size_t start, size_t len) {
+    size_t lit = len - start;
+    w.byte(lit >= 0xF ? 0xF0 : (uint8_t)(lit << 4));
+    if (lit >= 0xF) w.lsic(lit - 0xF);
+    std::memcpy(w.out + w.pos, input + start, lit);
+    w.pos += lit;
+}
+
+} // namespace
+
+// ---------------------------------------------------------------------------
+// Compression
+// ---------------------------------------------------------------------------
+
+TLZ4_API int64_t tlz4_compress_bound(int64_t n) {
+    return 16 + 4 + (n * 110) / 100;
+}
+
+// Seed a hash table from a dictionary with a 3-byte stride.
+TLZ4_API void tlz4_init_dict_table(uint64_t* table, const uint8_t* dict,
+                                   size_t dict_len, int use_hash5) {
+    for (size_t i = 0; i + 8 <= dict_len; i += 3) {
+        table[hash_at(dict + i, use_hash5)] = i;
+    }
+}
+
+// Greedy LZ4 block encode of input[input_pos..input_len).
+//
+// input[..input_pos) is a same-buffer prefix available for lookback; ext_dict
+// logically precedes input; stream_offset is the logical stream position of
+// input[0] (>= ext_dict_len). `table` holds 4096 logical stream positions and
+// may be carried across calls (linked blocks). Returns bytes written or -1 if
+// out_cap < tlz4_compress_bound(input_len - input_pos).
+TLZ4_API int64_t tlz4_compress_block(
+    const uint8_t* input, size_t input_len, size_t input_pos,
+    uint8_t* out, size_t out_cap,
+    const uint8_t* ext_dict, size_t ext_dict_len,
+    uint64_t stream_offset,
+    uint64_t* table, int use_hash5)
+{
+    if (out_cap < (size_t)tlz4_compress_bound((int64_t)(input_len - input_pos))) return -1;
+    ByteWriter w{out, 0, out_cap};
+
+    if (input_len - input_pos < LZ4_MIN_LENGTH) {
+        emit_last_literals(w, input, input_pos, input_len);
+        return (int64_t)w.pos;
+    }
+
+    const uint64_t ext_dict_stream_offset = stream_offset - ext_dict_len;
+    const size_t end_pos_check = input_len - MFLIMIT;
+    size_t literal_start = input_pos;
+    size_t cur = input_pos;
+
+    if (cur == 0 && stream_offset == 0) {
+        // A block with no history cannot start with a match.
+        table[hash_at(input, use_hash5)] = 0;
+        cur = 1;
+    }
+
+    for (;;) {
+        size_t non_match_count = 1u << STEP_SHIFT;
+        size_t next_cur = cur;
+        const uint8_t* source;
+        size_t cand;
+        uint16_t offset;
+
+        // Probe loop with skip acceleration.
+        for (;;) {
+            size_t step = non_match_count >> STEP_SHIFT;
+            non_match_count++;
+            cur = next_cur;
+            next_cur += step;
+            if (cur > end_pos_check) {
+                emit_last_literals(w, input, literal_start, input_len);
+                return (int64_t)w.pos;
+            }
+            size_t h = hash_at(input + cur, use_hash5);
+            uint64_t candidate = table[h];
+            table[h] = cur + stream_offset;
+            if (stream_offset + cur - candidate > MAX_DISTANCE) continue;
+            if (candidate >= stream_offset) {
+                offset = (uint16_t)(stream_offset + cur - candidate);
+                cand = (size_t)(candidate - stream_offset);
+                source = input;
+            } else if (ext_dict_len != 0) {
+                if (candidate < ext_dict_stream_offset) continue; // history lost
+                offset = (uint16_t)(stream_offset + cur - candidate);
+                cand = (size_t)(candidate - ext_dict_stream_offset);
+                source = ext_dict;
+            } else {
+                continue;
+            }
+            if (load32(source + cand) == load32(input + cur)) break;
+        }
+
+        // Extend the match backwards over pending literals.
+        while (cand > 0 && cur > literal_start && input[cur - 1] == source[cand - 1]) {
+            cur--; cand--;
+        }
+
+        size_t lit_len = cur - literal_start;
+        cur += MINMATCH;
+        cand += MINMATCH;
+        size_t source_len = (source == input) ? input_len : ext_dict_len;
+        size_t max_in = input_len - END_OFFSET - cur; // cur <= len-8 here
+        size_t max_cand = source_len - cand;
+        size_t dup_len = common_prefix(input + cur, source + cand,
+                                       max_in < max_cand ? max_in : max_cand);
+        cur += dup_len;
+        {
+            size_t h = hash_at(input + cur - 2, use_hash5);
+            table[h] = cur - 2 + stream_offset;
+        }
+
+        uint8_t token = (lit_len >= 0xF ? 0xF0 : (uint8_t)(lit_len << 4))
+                      | (dup_len >= 0xF ? 0xF : (uint8_t)dup_len);
+        w.byte(token);
+        if (lit_len >= 0xF) w.lsic(lit_len - 0xF);
+        std::memcpy(w.out + w.pos, input + literal_start, lit_len);
+        w.pos += lit_len;
+        w.u16le(offset);
+        if (dup_len >= 0xF) w.lsic(dup_len - 0xF);
+        literal_start = cur;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Decompression
+// ---------------------------------------------------------------------------
+
+// Error codes (mirror the DecompressError taxonomy).
+enum : int64_t {
+    TLZ4_ERR_OUTPUT_TOO_SMALL      = -1,
+    TLZ4_ERR_LITERAL_OOB           = -2,
+    TLZ4_ERR_EXPECTED_ANOTHER_BYTE = -3,
+    TLZ4_ERR_OFFSET_ZERO           = -4,
+    TLZ4_ERR_OFFSET_OOB            = -5,
+};
+
+// Copy `len` bytes from out[dpos-offset..] to out[dpos..], allowing overlap
+// with LZ4 semantics (source re-reads bytes this copy produced).
+static inline void overlap_copy(uint8_t* out, size_t dpos, size_t offset, size_t len) {
+    uint8_t* dst = out + dpos;
+    const uint8_t* src = dst - offset;
+    if (offset == 1) {
+        std::memset(dst, src[0], len);
+        return;
+    }
+    // Doubling runs: each memcpy of `run` bytes is non-overlapping
+    // (dst - src == run) and doubles the usable source period.
+    size_t run = offset;
+    while (len > run) {
+        std::memcpy(dst, src, run);
+        dst += run;
+        len -= run;
+        run *= 2;
+    }
+    std::memcpy(dst, src, len);
+}
+
+// Match that starts in the external dictionary (offset > out_pos) and may
+// cross into out. Returns new out_pos or a negative error code.
+static inline int64_t dict_match_copy(
+    uint8_t* out, size_t out_pos, size_t out_cap,
+    const uint8_t* ext_dict, size_t ext_dict_len,
+    size_t offset, size_t match_len, uint64_t* expected_out)
+{
+    size_t back = offset - out_pos;
+    if (back > ext_dict_len) return TLZ4_ERR_OFFSET_OOB;
+    if (match_len > out_cap - out_pos) {
+        *expected_out = out_pos + match_len;
+        return TLZ4_ERR_OUTPUT_TOO_SMALL;
+    }
+    size_t dict_off = ext_dict_len - back;
+    size_t take = back < match_len ? back : match_len;
+    std::memcpy(out + out_pos, ext_dict + dict_off, take);
+    out_pos += take;
+    match_len -= take;
+    if (match_len > 0) {
+        // Remainder continues from the start of out (offset == out_pos here).
+        overlap_copy(out, out_pos, offset, match_len);
+        out_pos += match_len;
+    }
+    return (int64_t)out_pos;
+}
+
+// Token-walk decode of one LZ4 block.
+//
+// out[..out_pos) is already-produced output (linked-block prefix) that matches
+// may reference; ext_dict logically precedes it. Returns bytes appended, or a
+// negative error code. For TLZ4_ERR_OUTPUT_TOO_SMALL, *expected_out gets the
+// required size.
+TLZ4_API int64_t tlz4_decompress_block(
+    const uint8_t* input, size_t input_len,
+    uint8_t* out, size_t out_pos, size_t out_cap,
+    const uint8_t* ext_dict, size_t ext_dict_len,
+    uint64_t* expected_out)
+{
+    size_t ip = 0;
+    const size_t start_pos = out_pos;
+    // Fast path is valid while we can wild-copy 16 literal bytes / 18+16 match
+    // bytes and still re-read the offset word.
+    const size_t in_fast = input_len >= 18 ? input_len - 18 : 0;
+    const size_t out_fast = out_cap >= 34 ? out_cap - 34 : 0;
+
+    for (;;) {
+        if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+        uint8_t token = input[ip++];
+        size_t lit_len = token >> 4;
+        size_t match_len = token & 0xF;
+
+        if (lit_len <= 14 && match_len <= 14 && ip <= in_fast && out_pos < out_fast) {
+            // Hot path: short literal run + short match, far from both ends.
+            std::memcpy(out + out_pos, input + ip, 16);
+            out_pos += lit_len;
+            ip += lit_len;
+            size_t offset = load16(input + ip);
+            ip += 2;
+            match_len += MINMATCH;
+            if (offset == 0) return TLZ4_ERR_OFFSET_ZERO;
+            if (offset <= out_pos) {
+                if (offset >= 18) {
+                    std::memcpy(out + out_pos, out + out_pos - offset, 18);
+                    out_pos += match_len;
+                    continue;
+                }
+                overlap_copy(out, out_pos, offset, match_len);
+                out_pos += match_len;
+                continue;
+            }
+            int64_t r = dict_match_copy(out, out_pos, out_cap, ext_dict, ext_dict_len,
+                                        offset, match_len, expected_out);
+            if (r < 0) return r;
+            out_pos = (size_t)r;
+            continue;
+        }
+
+        // Cold path: LSIC extensions and end-of-buffer care.
+        if (lit_len == 0xF) {
+            for (;;) {
+                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                uint8_t b = input[ip++];
+                lit_len += b;
+                if (b != 0xFF) break;
+            }
+        }
+        if (lit_len > input_len - ip) return TLZ4_ERR_LITERAL_OOB;
+        if (lit_len > out_cap - out_pos) {
+            *expected_out = out_pos + lit_len;
+            return TLZ4_ERR_OUTPUT_TOO_SMALL;
+        }
+        std::memcpy(out + out_pos, input + ip, lit_len);
+        out_pos += lit_len;
+        ip += lit_len;
+
+        if (ip >= input_len) break; // final literal-only sequence
+
+        {
+            if (input_len - ip < 2) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+            size_t offset = load16(input + ip);
+            ip += 2;
+            if (offset == 0) return TLZ4_ERR_OFFSET_ZERO;
+            match_len = (token & 0xF);
+            if (match_len == 0xF) {
+                for (;;) {
+                    if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                    uint8_t b = input[ip++];
+                    match_len += b;
+                    if (b != 0xFF) break;
+                }
+            }
+            match_len += MINMATCH;
+            if (match_len > out_cap - out_pos) {
+                *expected_out = out_pos + match_len;
+                return TLZ4_ERR_OUTPUT_TOO_SMALL;
+            }
+            if (offset <= out_pos) {
+                if (offset >= match_len) {
+                    std::memmove(out + out_pos, out + out_pos - offset, match_len);
+                } else {
+                    overlap_copy(out, out_pos, offset, match_len);
+                }
+                out_pos += match_len;
+                continue;
+            }
+            int64_t r = dict_match_copy(out, out_pos, out_cap, ext_dict, ext_dict_len,
+                                        offset, match_len, expected_out);
+            if (r < 0) return r;
+            out_pos = (size_t)r;
+        }
+    }
+    return (int64_t)(out_pos - start_pos);
+}
+
+// ---------------------------------------------------------------------------
+// Sequence-table parser (host side of the TPU decode pipeline)
+// ---------------------------------------------------------------------------
+
+// Parse a block into fixed-width sequence records for device expansion:
+// sequence i copies lit_len[i] literals from input[lit_start[i]..], then a
+// match of match_len[i] bytes at distance match_off[i] (0 for the final
+// literal-only record). out_off[i] is the uncompressed position where the
+// sequence's output begins. Returns the record count, or a negative error.
+// *total_out receives the total uncompressed size.
+TLZ4_API int64_t tlz4_parse_sequences(
+    const uint8_t* input, size_t input_len,
+    int32_t* lit_start, int32_t* lit_len,
+    int32_t* match_off, int32_t* match_len, int32_t* out_off,
+    int64_t max_seqs, int64_t* total_out)
+{
+    size_t ip = 0;
+    int64_t nseq = 0;
+    int64_t opos = 0;
+    for (;;) {
+        if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+        uint8_t token = input[ip++];
+        size_t ll = token >> 4;
+        if (ll == 0xF) {
+            for (;;) {
+                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                uint8_t b = input[ip++];
+                ll += b;
+                if (b != 0xFF) break;
+            }
+        }
+        if (ll > input_len - ip) return TLZ4_ERR_LITERAL_OOB;
+        if (nseq >= max_seqs) return TLZ4_ERR_OUTPUT_TOO_SMALL;
+        lit_start[nseq] = (int32_t)ip;
+        lit_len[nseq] = (int32_t)ll;
+        out_off[nseq] = (int32_t)opos;
+        ip += ll;
+        opos += (int64_t)ll;
+
+        if (ip >= input_len) {
+            match_off[nseq] = 0;
+            match_len[nseq] = 0;
+            nseq++;
+            break;
+        }
+        if (input_len - ip < 2) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+        size_t offset = load16(input + ip);
+        ip += 2;
+        if (offset == 0) return TLZ4_ERR_OFFSET_ZERO;
+        size_t ml = token & 0xF;
+        if (ml == 0xF) {
+            for (;;) {
+                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                uint8_t b = input[ip++];
+                ml += b;
+                if (b != 0xFF) break;
+            }
+        }
+        ml += MINMATCH;
+        match_off[nseq] = (int32_t)offset;
+        match_len[nseq] = (int32_t)ml;
+        nseq++;
+        opos += (int64_t)ml;
+    }
+    *total_out = opos;
+    return nseq;
+}
+
+// ---------------------------------------------------------------------------
+// xxHash32
+// ---------------------------------------------------------------------------
+
+namespace {
+constexpr uint32_t P1 = 2654435761u, P2 = 2246822519u, P3 = 3266489917u,
+                   P4 = 668265263u, P5 = 374761393u;
+inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+inline uint32_t xxh_round(uint32_t acc, uint32_t lane) {
+    return rotl32(acc + lane * P2, 13) * P1;
+}
+inline uint32_t xxh_finalize(uint32_t h, const uint8_t* p, size_t n) {
+    while (n >= 4) { h = rotl32(h + load32(p) * P3, 17) * P4; p += 4; n -= 4; }
+    while (n > 0)  { h = rotl32(h + (*p) * P5, 11) * P1; p++; n--; }
+    h ^= h >> 15; h *= P2; h ^= h >> 13; h *= P3; h ^= h >> 16;
+    return h;
+}
+} // namespace
+
+TLZ4_API uint32_t tlz4_xxh32(const uint8_t* data, size_t len, uint32_t seed) {
+    const uint8_t* p = data;
+    uint32_t h;
+    if (len >= 16) {
+        uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+        const uint8_t* end = data + (len & ~(size_t)15);
+        do {
+            v1 = xxh_round(v1, load32(p));      v2 = xxh_round(v2, load32(p + 4));
+            v3 = xxh_round(v3, load32(p + 8));  v4 = xxh_round(v4, load32(p + 12));
+            p += 16;
+        } while (p != end);
+        h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+    } else {
+        h = seed + P5;
+    }
+    h += (uint32_t)len;
+    return xxh_finalize(h, p, len & 15);
+}
+
+// Streaming state layout: [v1, v2, v3, v4, total_lo, total_hi, memsize, mem x4]
+TLZ4_API void tlz4_xxh32_reset(uint32_t* s, uint32_t seed) {
+    s[0] = seed + P1 + P2; s[1] = seed + P2; s[2] = seed; s[3] = seed - P1;
+    s[4] = s[5] = s[6] = 0;
+    std::memset(s + 7, 0, 16);
+}
+
+TLZ4_API void tlz4_xxh32_update(uint32_t* s, const uint8_t* data, size_t len) {
+    uint64_t total = ((uint64_t)s[5] << 32 | s[4]) + len;
+    s[4] = (uint32_t)total; s[5] = (uint32_t)(total >> 32);
+    uint8_t* mem = (uint8_t*)(s + 7);
+    size_t memsize = s[6];
+    if (memsize + len < 16) {
+        std::memcpy(mem + memsize, data, len);
+        s[6] = (uint32_t)(memsize + len);
+        return;
+    }
+    if (memsize) {
+        size_t fill = 16 - memsize;
+        std::memcpy(mem + memsize, data, fill);
+        s[0] = xxh_round(s[0], load32(mem));      s[1] = xxh_round(s[1], load32(mem + 4));
+        s[2] = xxh_round(s[2], load32(mem + 8));  s[3] = xxh_round(s[3], load32(mem + 12));
+        data += fill; len -= fill;
+    }
+    uint32_t v1 = s[0], v2 = s[1], v3 = s[2], v4 = s[3];
+    while (len >= 16) {
+        v1 = xxh_round(v1, load32(data));      v2 = xxh_round(v2, load32(data + 4));
+        v3 = xxh_round(v3, load32(data + 8));  v4 = xxh_round(v4, load32(data + 12));
+        data += 16; len -= 16;
+    }
+    s[0] = v1; s[1] = v2; s[2] = v3; s[3] = v4;
+    std::memcpy(mem, data, len);
+    s[6] = (uint32_t)len;
+}
+
+TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
+    uint64_t total = (uint64_t)s[5] << 32 | s[4];
+    uint32_t h;
+    if (total >= 16) {
+        h = rotl32(s[0], 1) + rotl32(s[1], 7) + rotl32(s[2], 12) + rotl32(s[3], 18);
+    } else {
+        h = s[2] /* == seed */ + P5;
+    }
+    h += (uint32_t)total;
+    return xxh_finalize(h, (const uint8_t*)(s + 7), s[6]);
+}
