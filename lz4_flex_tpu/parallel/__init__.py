@@ -1,0 +1,33 @@
+"""Multi-chip scale-out for the codec.
+
+The reference is single-threaded (SURVEY.md §2.3); the units of parallelism
+its formats expose become first-class mesh programs here:
+
+  - independent frame blocks shard data-parallel over a device mesh
+    ("blocks" axis) — encode and decode;
+  - linked-block encode is also data-parallel: each block's 64 KiB dictionary
+    is the *input's* previous tail, known upfront, so the window carry-over
+    chain (src/frame/compress.rs:327-356) only constrains decode;
+  - linked-block decode pipelines the 64 KiB window between successive block
+    shards with collective permutes over ICI.
+
+Communication rides jax.sharding + shard_map collectives; there is no
+custom transport.
+"""
+
+from .mesh import codec_mesh, local_codec_mesh
+from .pipeline import (
+    decode_blocks_sharded,
+    encode_blocks_sharded,
+    roundtrip_step_sharded,
+    stage_blocks,
+)
+
+__all__ = [
+    "codec_mesh",
+    "local_codec_mesh",
+    "encode_blocks_sharded",
+    "decode_blocks_sharded",
+    "roundtrip_step_sharded",
+    "stage_blocks",
+]

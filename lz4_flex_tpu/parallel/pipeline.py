@@ -1,0 +1,252 @@
+"""Sharded block pipelines: frame blocks data-parallel over the mesh.
+
+Encode: frame blocks are independent compression problems even in linked
+mode (each block's 64 KiB dictionary is a slice of the *input*, known
+upfront — the reference's sequential window rotation at
+src/frame/compress.rs:327-356 is a streaming artifact, not a data
+dependency), so both modes shard data-parallel: stage (B, S) blocks, run the
+batched encode kernel under shard_map, gather (lengths, payloads) in frame
+order on the host.
+
+Decode: independent-mode blocks shard the same way with a fused
+parse+expand kernel per block. Linked-mode decode has cross-block *output*
+dependencies; ops.decode.decode_parts_fused resolves them globally instead
+(one merged sequence table over the whole frame).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..spec.constants import WINDOW_SIZE, get_maximum_output_size
+from ..ops import packing
+from ..ops.decode import expand_core
+from ..ops.encode import encode_core
+from ..ops.parse import parse_core
+from .mesh import BLOCK_AXIS, codec_mesh
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+P = jax.sharding.PartitionSpec
+
+
+# ---------------------------------------------------------------------------
+# Host staging
+# ---------------------------------------------------------------------------
+
+
+def stage_blocks(data, block_size: int, *, linked: bool = False, pad_rows_to: int = 1):
+    """Split ``data`` into frame blocks staged as a dense (B, D+S) uint8
+    array plus per-block (dict_len, total_len) vectors.
+
+    In linked mode each row is prefixed with the previous 64 KiB of input
+    (its dictionary); row 0 has an empty dictionary. ``pad_rows_to`` pads the
+    batch with empty rows so B divides the mesh size.
+    """
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    n = buf.shape[0]
+    nblocks = max(1, -(-n // block_size))
+    b_pad = -(-nblocks // pad_rows_to) * pad_rows_to
+    w = WINDOW_SIZE if linked else 0
+    width = packing.size_bucket(w + block_size + 4)
+    rows = np.zeros((b_pad, width), dtype=np.uint8)
+    dlen = np.zeros(b_pad, dtype=np.int32)
+    tlen = np.zeros(b_pad, dtype=np.int32)
+    for i in range(nblocks):
+        start = i * block_size
+        blk = buf[start : start + block_size]
+        d = min(w, start)
+        rows[i, : d + blk.shape[0]] = buf[start - d : start + blk.shape[0]]
+        dlen[i] = d
+        tlen[i] = d + blk.shape[0]
+    return rows, dlen, tlen, nblocks
+
+
+# ---------------------------------------------------------------------------
+# Batched kernels
+# ---------------------------------------------------------------------------
+
+
+def _encode_batch(rows, words, dlen, tlen, *, levels, comp_pad, nseq_pad):
+    f = partial(encode_core, levels=levels, comp_pad=comp_pad, nseq_pad=nseq_pad)
+    out, total, _ = jax.vmap(f)(rows, words, dlen, tlen)
+    return out, total
+
+
+def _decode_one(u8, clen, *, out_pad, nseq_pad):
+    """Fused device parse + expand for one independent block."""
+    ls, ll, mo, ml, oo, nseq, total, errs = parse_core(u8, clen, nseq_pad=nseq_pad)
+    seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
+    real = seq_i < nseq
+    oo = jnp.where(real, oo, out_pad)
+    mo = jnp.where(real, mo, 1)
+    words = packing.bytes_to_words(u8)
+    out = expand_core(
+        words,
+        jnp.zeros(1, jnp.uint32),
+        oo,
+        ls,
+        ll,
+        mo,
+        jnp.int32(0),
+        total,
+        out_pad=out_pad,
+        has_dict=False,
+    )
+    return out, total, errs
+
+
+def _decode_batch(rows, clen, *, out_pad, nseq_pad):
+    f = partial(_decode_one, out_pad=out_pad, nseq_pad=nseq_pad)
+    return jax.vmap(f)(rows, clen)
+
+
+# ---------------------------------------------------------------------------
+# Sharded entry points
+# ---------------------------------------------------------------------------
+
+
+def encode_blocks_sharded(data, block_size: int, *, linked: bool = False, mesh=None):
+    """Compress ``data`` as frame blocks, data-parallel over the mesh.
+
+    Returns (payloads: list[bytes], block_lens: list[int]) in frame order;
+    the frame layer wraps them in BlockInfo words and checksums.
+    """
+    if mesh is None:
+        mesh = codec_mesh()
+    ndev = mesh.devices.size
+    rows, dlen, tlen, nblocks = stage_blocks(
+        data, block_size, linked=linked, pad_rows_to=ndev
+    )
+    width = rows.shape[1]
+    levels = min(12, max(2, (width - 1).bit_length()))
+    comp_pad = packing.size_bucket(get_maximum_output_size(block_size))
+    nseq_pad = packing.size_bucket(max(8, width // 4 + 2), minimum=256)
+    words = rows.view("<u4")
+
+    spec = P(BLOCK_AXIS)
+    f = partial(_encode_batch, levels=levels, comp_pad=comp_pad, nseq_pad=nseq_pad)
+    sharded = jax.jit(
+        shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec),
+        )
+    )
+    out, total = sharded(
+        jnp.asarray(rows), jnp.asarray(words), jnp.asarray(dlen), jnp.asarray(tlen)
+    )
+    out_h = np.asarray(out)
+    total_h = np.asarray(total)
+    payloads = [out_h[i, : total_h[i]].tobytes() for i in range(nblocks)]
+    lens = [int(tlen[i] - dlen[i]) for i in range(nblocks)]
+    return payloads, lens
+
+
+def roundtrip_step_sharded(data, block_size: int, *, mesh=None):
+    """One full sharded codec step under a single jit: batched encode on each
+    shard, an all-gather of compressed lengths over the mesh (the frame
+    assembly plan — the ordered-gather collective of SURVEY.md §2.3), then
+    batched decode and an on-device roundtrip check.
+
+    This is the "training step" analog the multi-chip dry run compiles: it
+    exercises the real data-parallel shardings plus the ICI collective.
+    Returns (comp_payload_rows, comp_lens, assembly_offsets, ok_flag).
+    """
+    if mesh is None:
+        mesh = codec_mesh()
+    ndev = mesh.devices.size
+    rows, dlen, tlen, nblocks = stage_blocks(data, block_size, pad_rows_to=ndev)
+    width = rows.shape[1]
+    levels = min(12, max(2, (width - 1).bit_length()))
+    comp_pad = packing.size_bucket(get_maximum_output_size(block_size))
+    out_pad = packing.size_bucket(block_size)
+    enc_nseq_pad = packing.size_bucket(max(8, width // 4 + 2), minimum=256)
+    dec_nseq_pad = packing.size_bucket(max(8, comp_pad // 3 + 2), minimum=256)
+
+    def step(rows, words, dlen, tlen):
+        comp, total = _encode_batch(
+            rows, words, dlen, tlen,
+            levels=levels, comp_pad=comp_pad, nseq_pad=enc_nseq_pad,
+        )
+        all_lens = jax.lax.all_gather(total, BLOCK_AXIS, tiled=True)
+        offsets = jnp.cumsum(all_lens) - all_lens
+        out, out_total, _errs = _decode_batch(
+            comp, total, out_pad=out_pad, nseq_pad=dec_nseq_pad
+        )
+        blen = tlen - dlen
+        pos = jnp.arange(out_pad, dtype=jnp.int32)[None, :]
+        mask = pos < blen[:, None]
+        w = min(out_pad, rows.shape[1])
+        ok = jnp.all(
+            jnp.where(mask[:, :w], out[:, :w] == rows[:, :w], True)
+        ) & jnp.all(out_total == blen)
+        ok = jax.lax.pmin(ok.astype(jnp.int32), BLOCK_AXIS)
+        return comp, total, offsets, ok
+
+    spec = P(BLOCK_AXIS)
+    sharded = jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, spec, P()),
+        )
+    )
+    return sharded(
+        jnp.asarray(rows),
+        jnp.asarray(rows.view("<u4")),
+        jnp.asarray(dlen),
+        jnp.asarray(tlen),
+    )
+
+
+def decode_blocks_sharded(payloads, block_size: int, *, mesh=None):
+    """Decompress independent-mode compressed block payloads data-parallel
+    over the mesh. Returns list[bytes] of decompressed blocks."""
+    if mesh is None:
+        mesh = codec_mesh()
+    ndev = mesh.devices.size
+    nblocks = len(payloads)
+    b_pad = max(ndev, -(-nblocks // ndev) * ndev)
+    width = packing.size_bucket(max(max((len(p) for p in payloads), default=4), 4))
+    rows = np.zeros((b_pad, width), dtype=np.uint8)
+    clen = np.zeros(b_pad, dtype=np.int32)
+    for i, p in enumerate(payloads):
+        rows[i, : len(p)] = np.frombuffer(p, np.uint8)
+        clen[i] = len(p)
+    # Empty rows would be parse errors; give them a valid empty block token.
+    for i in range(nblocks, b_pad):
+        clen[i] = 1
+    out_pad = packing.size_bucket(block_size)
+    nseq_pad = packing.size_bucket(max(8, width // 3 + 2), minimum=256)
+
+    spec = P(BLOCK_AXIS)
+    f = partial(_decode_batch, out_pad=out_pad, nseq_pad=nseq_pad)
+    sharded = jax.jit(
+        shard_map(f, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec, spec))
+    )
+    out, total, errs = sharded(jnp.asarray(rows), jnp.asarray(clen))
+    errs_h = np.asarray(errs[:nblocks])
+    if errs_h.any():
+        from ..block import errors as block_errors
+
+        bad = int(np.argwhere(errs_h.any(axis=1))[0][0])
+        flags = errs_h[bad]
+        if flags[0]:
+            raise block_errors.LiteralOutOfBounds()
+        if flags[2]:
+            raise block_errors.OffsetZero()
+        raise block_errors.ExpectedAnotherByte()
+    out_h = np.asarray(out)
+    total_h = np.asarray(total)
+    return [out_h[i, : total_h[i]].tobytes() for i in range(nblocks)]

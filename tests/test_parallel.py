@@ -1,0 +1,160 @@
+"""Mesh pipeline tests on the virtual 8-device CPU mesh (conftest).
+
+Covers: sharded independent/linked frame encode, sharded independent block
+decode, the fused whole-frame device decode (linked included), the one-jit
+roundtrip step with its length all-gather, the device frame codec vs the
+host streaming codec, and the driver entry points."""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax
+
+from lz4_flex_tpu import block, frame
+from lz4_flex_tpu.frame import BlockMode, BlockSize, FrameInfo
+from lz4_flex_tpu.frame.device import (
+    compress_frame_device,
+    decompress_frame_device,
+)
+from lz4_flex_tpu.ops.decode import decode_parts_fused
+from lz4_flex_tpu.parallel import (
+    codec_mesh,
+    decode_blocks_sharded,
+    encode_blocks_sharded,
+    roundtrip_step_sharded,
+)
+
+
+def _data(size=40_000):
+    rng = np.random.Random(42)
+    out = bytearray()
+    words = [b"alpha", b"beta", b"gamma", b"delta", bytes(rng.randrange(256) for _ in range(16))]
+    while len(out) < size:
+        out += words[rng.randrange(len(words))]
+    return bytes(out[:size])
+
+
+BS = 4096  # small blocks: 10 blocks across 8 devices
+
+
+def test_encode_blocks_sharded_independent():
+    data = _data()
+    payloads, lens = encode_blocks_sharded(data, BS)
+    assert sum(lens) == len(data)
+    # every payload decodes with the host engine
+    pos = 0
+    for comp, blen in zip(payloads, lens):
+        assert block.decompress(comp, blen) == data[pos : pos + blen]
+        pos += blen
+
+
+def test_encode_blocks_sharded_linked():
+    data = _data()
+    payloads, lens = encode_blocks_sharded(data, BS, linked=True)
+    # linked blocks need the previous 64 KiB as dictionary
+    pos = 0
+    for comp, blen in zip(payloads, lens):
+        d = data[max(0, pos - 65536) : pos]
+        assert block.decompress_with_dict(comp, blen, d) == data[pos : pos + blen]
+        pos += blen
+    # linked should not be larger than independent on correlated data
+    indep, _ = encode_blocks_sharded(data, BS)
+    assert sum(map(len, payloads)) <= sum(map(len, indep))
+
+
+def test_decode_blocks_sharded():
+    data = _data()
+    payloads = []
+    blocks = [data[i : i + BS] for i in range(0, len(data), BS)]
+    payloads = [block.compress(b) for b in blocks]
+    out = decode_blocks_sharded(payloads, BS)
+    assert b"".join(out) == data
+
+
+def test_decode_parts_fused_mixed():
+    data = _data()
+    blocks = [data[i : i + BS] for i in range(0, len(data), BS)]
+    parts = []
+    for i, b in enumerate(blocks):
+        if i % 3 == 2:
+            parts.append((b, False))  # stored block
+        else:
+            parts.append((block.compress(b), True))
+    assert decode_parts_fused(parts) == data
+
+
+def test_decode_parts_fused_linked():
+    data = _data()
+    parts = []
+    window = b""
+    for i in range(0, len(data), BS):
+        b = data[i : i + BS]
+        parts.append((block.compress_with_dict(b, window), True))
+        window = (window + b)[-65536:]
+    assert decode_parts_fused(parts) == data
+
+
+def test_roundtrip_step_sharded():
+    data = _data()
+    comp, lens, offsets, ok = roundtrip_step_sharded(data, BS)
+    assert bool(ok)
+    lens = np.asarray(lens)
+    offsets = np.asarray(offsets)
+    nblocks = -(-len(data) // BS)
+    assert (np.cumsum(lens) - lens == offsets).all()
+    assert lens[:nblocks].sum() > 0
+
+
+@pytest.mark.parametrize("mode", [BlockMode.Independent, BlockMode.Linked])
+@pytest.mark.parametrize("checksums", [False, True])
+def test_frame_device_vs_host(mode, checksums):
+    data = _data()
+    fi = FrameInfo(
+        block_size=BlockSize.Max64KB,
+        block_mode=mode,
+        block_checksums=checksums,
+        content_checksum=checksums,
+    )
+    dev = compress_frame_device(data, fi)
+    # host streaming decoder reads the device-compressed frame
+    assert frame.decompress(dev) == data
+    # device decoder reads the host-compressed frame
+    host = frame.compress(data, fi)
+    assert decompress_frame_device(host) == data
+    # device roundtrip
+    assert decompress_frame_device(dev) == data
+
+
+def test_frame_device_concatenated_and_legacy():
+    data = _data(8000)
+    f1 = compress_frame_device(data)
+    f2 = compress_frame_device(data[::-1], FrameInfo(legacy_frame=True))
+    assert decompress_frame_device(f1 + f2) == data + data[::-1]
+    assert frame.decompress(f1 + f2) == data + data[::-1]
+
+
+def test_frame_device_empty():
+    assert decompress_frame_device(compress_frame_device(b"")) == b""
+
+
+def test_codec_model_roundtrip():
+    from lz4_flex_tpu.models import CodecConfig, LZ4Codec
+
+    data = _data()
+    codec = LZ4Codec(CodecConfig(block_size=BlockSize.Max64KB))
+    assert codec.decompress(codec.compress(data)) == data
+    assert frame.decompress(codec.compress(data)) == data
+
+
+def test_graft_entry():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out, lens, errs = jax.jit(fn)(*args)
+    assert not np.asarray(errs).any()
+    g.dryrun_multichip(8)
