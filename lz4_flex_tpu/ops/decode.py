@@ -53,26 +53,35 @@ def expand_core(
     comp_pad = comp_words.shape[0] * 4
     pout = jnp.arange(out_pad, dtype=jnp.int32)
 
-    # Stage 1: sequence attribution. Padding sequences carry out_off == out_pad
-    # and are dropped by the scatter.
-    seq_idx = jnp.arange(seq_oo.shape[0], dtype=jnp.int32)
-    z = jnp.zeros(out_pad, dtype=jnp.int32)
-    z = z.at[seq_oo].max(seq_idx, mode="drop")
-    tok = jax.lax.associative_scan(jnp.maximum, z)
+    # Stages 1+2 fused: the per-byte source map is PIECEWISE AFFINE in the
+    # output position — on a literal segment s(p) = -(p + C_i + 1) with
+    # C_i = lit_start_i - out_off_i, on a match segment s(p) = p - off_i.
+    # So one piecewise-constant value array V (C_i on literal segments,
+    # off_i on match segments) and one segment flag F reconstruct s with two
+    # sparse scatter-adds of per-sequence deltas and two tiled cumsums —
+    # no per-byte gathers at all (XLA:TPU gathers run ~110 M elem/s, so
+    # per-byte table lookups would dominate the whole kernel).
+    off_i = jnp.maximum(seq_mo, 1)  # sanitized: offset 0 would never resolve
+    c_i = seq_ls - seq_oo
+    prev_off = jnp.concatenate([jnp.zeros(1, jnp.int32), off_i[:-1]])
+    d_lit = c_i - prev_off  # value delta entering seq i's literal segment
+    d_match = off_i - c_i  # value delta entering seq i's match segment
+    lit_starts = seq_oo  # padding seqs carry out_off == out_pad -> dropped
+    match_starts = jnp.clip(seq_oo + seq_ll, 0, out_pad)
 
-    oo = seq_oo[tok]
-    ls = seq_ls[tok]
-    ll = seq_ll[tok]
-    off = jnp.maximum(seq_mo[tok], 1)  # sanitized: offset 0 would never resolve
+    V = jnp.zeros(out_pad, dtype=jnp.int32)
+    V = V.at[lit_starts].add(d_lit, mode="drop")
+    V = V.at[match_starts].add(d_match, mode="drop")
+    V = packing.tiled_cumsum(V)
 
-    # Stage 2: per-byte source map. Negative values are resolved sources:
-    #   -(k+1) with k <  comp_pad        -> literal byte comp[k]
-    #   -(k+1) with k >= comp_pad        -> dictionary byte dict[k - comp_pad]
-    # Non-negative values point at an earlier output byte (match copy).
-    delta = pout - oo
-    is_lit = delta < ll
-    lit_k = ls + delta
-    msrc = pout - off
+    F = jnp.zeros(out_pad, dtype=jnp.int32)
+    F = F.at[lit_starts].add(1, mode="drop")
+    F = F.at[match_starts].add(-1, mode="drop")
+    F = packing.tiled_cumsum(F)
+
+    is_lit = F > 0
+    lit_k = pout + V  # = lit_start + (p - out_off)
+    msrc = pout - V  # = p - offset
     dict_k = comp_pad + jnp.clip(dict_len + msrc, 0, dict_words.shape[0] * 4 - 1)
     s = jnp.where(
         is_lit,
@@ -81,16 +90,57 @@ def expand_core(
     )
     s = jnp.where(pout < total_out, s, -1)
 
-    def cond(carry):
-        s, i = carry
-        return jnp.logical_and(jnp.any(s >= 0), i < _MAX_DOUBLING_ROUNDS)
-
-    def body(carry):
-        s, i = carry
+    # Pointer doubling. Gathers on XLA:TPU run at a fixed ~110 M elem/s
+    # (PERF.md), so pass cost is proportional to the gathered element count:
+    # two dense rounds collapse chains of depth <= 4, then the surviving
+    # positions (typically a few percent) are compacted into a small workset
+    # and chased there, falling back to dense rounds if the workset
+    # overflows. The unresolved-check is computed INSIDE loop bodies so it
+    # fuses with the round's traversal instead of costing its own pass.
+    def dense_round(s):
         g = s[jnp.clip(s, 0, out_pad - 1)]
-        return jnp.where(s >= 0, g, s), i + 1
+        return jnp.where(s >= 0, g, s)
 
-    s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+    s = dense_round(dense_round(s))
+
+    un_pad = max(4096, out_pad // 8)
+    mask = s >= 0
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    rank = packing.tiled_cumsum(mask.astype(jnp.int32)) - 1
+    # Sentinel entries point at position 0 (always resolved: the first output
+    # byte of a valid stream is a literal); their write-back is a no-op.
+    uidx = jnp.zeros(un_pad, dtype=jnp.int32).at[
+        jnp.where(mask, rank, un_pad)
+    ].set(pout, mode="drop")
+
+    def cond(carry):
+        _, active, i = carry
+        return jnp.logical_and(active, i < _MAX_DOUBLING_ROUNDS)
+
+    def compact_body(carry):
+        s, _, i = carry
+        su = s[uidx]
+        g = s[jnp.clip(su, 0, out_pad - 1)]
+        new = jnp.where(su >= 0, g, su)
+        s = s.at[uidx].set(new)
+        return s, jnp.any(new >= 0), i + 1
+
+    def dense_body(carry):
+        s, _, i = carry
+        s = dense_round(s)
+        return s, jnp.any(s >= 0), i + 1
+
+    def run_compact(s):
+        out = jax.lax.while_loop(
+            cond, compact_body, (s, jnp.any(mask), jnp.int32(0))
+        )
+        return out[0]
+
+    def run_dense(s):
+        out = jax.lax.while_loop(cond, dense_body, (s, jnp.any(mask), jnp.int32(0)))
+        return out[0]
+
+    s = jax.lax.cond(cnt <= un_pad, run_compact, run_dense, s)
 
     # Stage 3: materialize bytes from the resolved sources.
     k = -s - 1
@@ -104,6 +154,39 @@ def expand_core(
 
 
 _expand_kernel = partial(jax.jit, static_argnames=("out_pad", "has_dict"))(expand_core)
+
+
+def decode_resident_core(u8, clen, *, out_pad, nseq_pad):
+    """Fully-on-device decode of one independent block: speculative parse +
+    expansion fused in one traceable function. Input and output stay in HBM
+    (the production shape: compressed bytes feed a device pipeline without a
+    host roundtrip). Returns (out[out_pad] uint8, total_out, error_flags)."""
+    from .parse import parse_core
+
+    ls, ll, mo, ml, oo, nseq, total, errs = parse_core(u8, clen, nseq_pad=nseq_pad)
+    seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
+    real = seq_i < nseq
+    oo = jnp.where(real, oo, out_pad)
+    mo = jnp.where(real, mo, 1)
+    words = packing.bytes_to_words(u8)
+    out = expand_core(
+        words,
+        jnp.zeros(1, jnp.uint32),
+        oo,
+        ls,
+        ll,
+        mo,
+        jnp.int32(0),
+        total,
+        out_pad=out_pad,
+        has_dict=False,
+    )
+    return out, total, errs
+
+
+decode_resident = partial(jax.jit, static_argnames=("out_pad", "nseq_pad"))(
+    decode_resident_core
+)
 
 _EMPTY_WORDS = np.zeros(1, dtype=np.uint32)
 

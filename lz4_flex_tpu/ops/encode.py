@@ -4,19 +4,18 @@ The reference encoder walks a cursor with a 4096-entry hash table (lz4_flex
 src/block/compress.rs:318-489). The TPU formulation computes everything for
 all positions at once and recovers the greedy walk algebraically:
 
-  1. candidates — the closest previous occurrence of every 4-byte word,
-     found by a lexicographic (word, position) sort: adjacent entries with
-     equal words are (candidate, position) pairs. This is *exact* closest-
-     match search — strictly stronger than the reference's collision-prone
-     4096-entry table — so the ratio margin pays for the parallel-greedy
-     simplifications below.
+  1. candidates — the k closest previous occurrences of every 4-byte word,
+     found by a lexicographic (word, position) sort: the j-th predecessor
+     with an equal word is the j-th-closest occurrence. This is *exact*
+     closest-match search — strictly stronger than the reference's
+     collision-prone 4096-entry table.
   2. match lengths — longest common prefix of (p, candidate) via binary
      lifting over power-of-two substring fingerprints; exact for levels
      0..2 (byte/u16/u32 loads), fingerprinted above that. Fingerprint
      collisions (~2^-32) can only overestimate a length; the optional
      roundtrip verify catches that and falls back to the host encoder.
-     Matches longer than the lifting cap split into back-to-back sequences
-     with the same offset (wire-legal, ~0.04% overhead).
+     The selector keeps the longest candidate match, with a one-step lazy
+     deferral when the next position holds a strictly longer match.
   3. greedy chain — cursor jumps (match ? p+len : p+1) form a functional
      graph; the emitted sequence set is the orbit of the start position,
      recovered by pointer-doubling reachability exactly as in the decoder's
@@ -26,20 +25,28 @@ all positions at once and recovers the greedy walk algebraically:
      (src/block/compress.rs:252-287).
   5. emission — per-sequence wire lengths (token/LSIC/literals/offset) are
      prefix-summed into byte offsets; every output byte then computes its
-     role and value independently (scatter + cummax attribution, funnel
-     gathers for literals).
+     role and value independently.
+
+Large inputs are encoded as fixed-shape 512 KiB chunks, each carrying the
+previous 64 KiB as its dictionary — lossless chunking, because the LZ4
+window is 64 KiB (src/block/mod.rs:35) — and the per-chunk sequence tables
+are stitched on the host (literal runs merge across boundaries) before one
+global emission pass. Fixed chunk shapes mean the expensive match kernel
+compiles once per width, not per input size (XLA:TPU compiles large sorts
+and scans in O(n^2) time; see ops/packing.py tiled_scan).
 
 External dictionaries ride the same machinery: the dictionary is prepended
 in "concat space", candidates may land in it, and offsets fall out naturally
 (the decoder's negative-source convention, ops/decode.py).
 
 Spec conformance (lz4_Block_format.md via src/block/mod.rs:35-70): matches
-start >= 13 bytes before the end, end at least 5 bytes before it, offsets
-are 1..65535, inputs shorter than LZ4_MIN_LENGTH stay literal-only.
+start >= 13 bytes before the (chunk) end, end at least 5 bytes before it,
+offsets are 1..65535, inputs shorter than LZ4_MIN_LENGTH stay literal-only.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
@@ -47,18 +54,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..spec.constants import get_maximum_output_size
+from ..spec.constants import WINDOW_SIZE, get_maximum_output_size
 from . import packing
 
-_GOLDEN32 = np.uint32(0x9E3779B1)
-_MIX32 = np.uint32(0x85EBCA6B)
+_C1 = np.uint32(0x85EBCA6B)
+_C2 = np.uint32(0xC2B2AE35)
+_C3 = np.uint32(0x9E3779B1)
+
+# Fixed chunking geometry for large inputs.
+_CHUNK_W = 1 << 19  # 512 KiB row width (dict + data + slack)
+_CHUNK_C = _CHUNK_W - WINDOW_SIZE - 4  # data bytes per chunk
 
 
 def _mix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Combine two span fingerprints into the covering span's fingerprint."""
-    a = a.astype(jnp.uint32)
-    b = b.astype(jnp.uint32)
-    h = (a ^ ((b << 13) | (b >> 19))) * _MIX32
+    """Combine two span fingerprints into the covering span's fingerprint.
+
+    Each input goes through multiply + xorshift BEFORE combining and the
+    combine is a modular add: a purely (F2- or Z/2^32-)linear combine like
+    `a ^ rotl(b, r)` admits input-independent differential cancellation —
+    e.g. '.'/',' (bit 9) in one word and 's'/'c' (bit 28 = 9-13 mod 32) in
+    the other collide EXACTLY, and English text hits such correlated ASCII
+    pairs constantly, producing systematic bogus matches."""
+    a = a.astype(jnp.uint32) * _C1
+    a = a ^ (a >> 16)
+    b = b.astype(jnp.uint32) * _C2
+    b = b ^ (b >> 16)
+    h = (a + b) * _C3
     return h ^ (h >> 15)
 
 
@@ -69,47 +90,39 @@ def _shift_read(arr: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.concatenate([arr[k:], jnp.zeros(k, arr.dtype)])
 
 
-def encode_core(
-    u8: jnp.ndarray,  # (PAD,) uint8 — ext_dict ++ input, zero padded
-    words: jnp.ndarray,  # (PAD/4,) uint32 — same, packed
-    d: jnp.ndarray,  # () int32 — dict length (input starts here)
-    n: jnp.ndarray,  # () int32 — dict + input length
+def match_core(
+    u8: jnp.ndarray,  # (PAD,) uint8 — dict ++ data, zero padded
+    d: jnp.ndarray,  # () int32 — dict length (data starts here)
+    n: jnp.ndarray,  # () int32 — dict + data length
     *,
     levels: int,
-    comp_pad: int,
     nseq_pad: int,
 ):
-    """The encode stages as a plain traceable function (vmap/shard_map
-    composable). Returns (comp_bytes[comp_pad], total_comp, nseq)."""
+    """Stages 1-4 for one chunk: returns compacted per-match arrays
+    (lit_len, lit_start, offset, match_len — chunk coordinates), the match
+    count, and last_end (where the trailing literal run begins)."""
     pad = u8.shape[0]
     pos = jnp.arange(pad, dtype=jnp.int32)
     u = u8.astype(jnp.uint32)
 
-    # Unaligned 4-byte words at every position (shifted adds, no gathers).
+    # Unaligned 4-byte words at every position (shifted ors, no gathers).
     w4 = u | (_shift_read(u, 1) << 8) | (_shift_read(u, 2) << 16) | (
         _shift_read(u, 3) << 24
     )
 
-    # --- 1. k closest previous occurrences by (word, position) sort --------
-    # The j-th predecessor in the sorted order with an equal word is the
-    # j-th-closest previous occurrence; keeping several lets the selector
-    # prefer a farther-but-longer match (the reference's sparse table often
-    # lands on older occurrences and wins long matches that way).
+    # --- 1. k closest previous occurrences ---------------------------------
     n_cands = 4
     sw, sp = jax.lax.sort((w4, pos.astype(jnp.uint32)), num_keys=2)
     spi = sp.astype(jnp.int32)
     cands = []
     for j in range(1, n_cands + 1):
-        same = jnp.concatenate(
-            [jnp.zeros(j, bool), sw[j:] == sw[:-j]]
-        )
+        same = jnp.concatenate([jnp.zeros(j, bool), sw[j:] == sw[:-j]])
         prev = jnp.concatenate([jnp.zeros(j, jnp.int32), spi[:-j]])
         cands.append(
             jnp.full(pad, -1, jnp.int32).at[spi].set(jnp.where(same, prev, -1))
         )
 
     # --- 2. match lengths by binary lifting --------------------------------
-    # H[k][p] fingerprints u8[p : p + 2^k]; levels 0..2 are exact loads.
     H = [u, u | (_shift_read(u, 1) << 8), w4]
     for k in range(3, levels + 1):
         H.append(_mix(H[-1], _shift_read(H[-1], 1 << (k - 1))))
@@ -136,10 +149,11 @@ def encode_core(
         mlen = jnp.where(better, ml_k, mlen)
 
     has_match = cand >= 0
-
     # Lazy one-step deferral: when the next position holds a strictly longer
     # match, step one literal instead of committing now.
-    defer = jnp.concatenate([has_match[1:] & (mlen[1:] > mlen[:-1]), jnp.zeros(1, bool)])
+    defer = jnp.concatenate(
+        [has_match[1:] & (mlen[1:] > mlen[:-1]), jnp.zeros(1, bool)]
+    )
     has_match = has_match & ~defer
     mlen = jnp.where(has_match, mlen, 0)
     c = jnp.maximum(cand, 0)
@@ -149,7 +163,8 @@ def encode_core(
     jump = jnp.where(has_match, pos + mlen, pos + 1)
     J = jnp.where(pos < n, jnp.clip(jump, 0, sent), sent)
     J = jnp.concatenate([J, jnp.array([sent], jnp.int32)])
-    M = jnp.zeros(pad + 1, dtype=jnp.int32).at[d].set(1)
+    # zeros_like(J) keeps the carry batched under vmap (see ops/parse.py).
+    M = jnp.zeros_like(J).at[d].set(1)
     rounds = max(1, (pad + 1).bit_length())
 
     def body(_, carry):
@@ -163,7 +178,7 @@ def encode_core(
 
     # Previous-match-end forward fill: the literal run feeding each match.
     ends = jnp.where(is_match, pos + mlen, 0)
-    E = jax.lax.associative_scan(jnp.maximum, ends)
+    E = packing.tiled_cummax(ends)
     E_excl = jnp.concatenate([jnp.zeros(1, jnp.int32), E[:-1]])
     prev_end = jnp.maximum(d, E_excl)
 
@@ -175,20 +190,12 @@ def encode_core(
         same = u8[jnp.clip(pos - j, 0, pad - 1)] == u8[jnp.clip(c - j, 0, pad - 1)]
         live = live & same & (b + 1 <= back_cap)
         b = b + live.astype(jnp.int32)
-    mstart = pos - b  # match start after extension
+    mstart = pos - b
     mlen_x = mlen + b
 
-    # --- 5a. per-sequence wire layout --------------------------------------
-    # Sequences = matches on the chain, plus one final literal-only record.
+    # --- compaction --------------------------------------------------------
     lit_len = mstart - prev_end
-    mlc = jnp.clip(mlen_x - 4, 0, None)
-
-    def lsic_n(v):
-        return jnp.where(v >= 15, (v - 15) // 255 + 1, 0)
-
-    comp_len = 1 + lsic_n(lit_len) + lit_len + jnp.where(is_match, 2 + lsic_n(mlc), 0)
-
-    rank = jnp.cumsum(is_match.astype(jnp.int32)) - 1
+    rank = packing.tiled_cumsum(is_match.astype(jnp.int32)) - 1
     nmatch = rank[pad - 1] + 1
     tgt = jnp.where(is_match, rank, nseq_pad)
 
@@ -197,42 +204,49 @@ def encode_core(
             jnp.full(nseq_pad, fill, dtype=jnp.int32).at[tgt].set(field, mode="drop")
         )
 
-    s_lit_len = compact(lit_len)
-    s_lit_src = compact(prev_end)
-    s_off = compact(pos - c, fill=1)
-    s_mlc = compact(mlc)
-    s_clen = compact(comp_len)
-    s_match = (
-        jnp.zeros(nseq_pad, jnp.int32).at[tgt].set(1, mode="drop")
+    last_end = jnp.maximum(d, E[pad - 1])
+    return (
+        compact(lit_len),
+        compact(prev_end),  # literal start, chunk coords
+        compact(pos - c, fill=1),  # offset
+        compact(mlen_x),  # match length (after backward extension)
+        nmatch,
+        last_end,
     )
 
-    # Final literal-only sequence.
-    last_end = jnp.maximum(d, E[pad - 1])
-    fin_ll = n - last_end
-    fin_len = 1 + lsic_n(fin_ll) + fin_ll
-    s_lit_len = s_lit_len.at[nmatch].set(fin_ll)
-    s_lit_src = s_lit_src.at[nmatch].set(last_end)
-    s_off = s_off.at[nmatch].set(1)
-    s_mlc = s_mlc.at[nmatch].set(0)
-    s_clen = s_clen.at[nmatch].set(fin_len)
-    s_match = s_match.at[nmatch].set(0)
-    nseq = nmatch + 1
 
+def emit_core(
+    words: jnp.ndarray,  # (SRC_PAD/4,) uint32 — global data, packed
+    s_ll: jnp.ndarray,  # (NSEQ_PAD,) int32 — literal length
+    s_ls: jnp.ndarray,  # (NSEQ_PAD,) int32 — literal start, global data coords
+    s_off: jnp.ndarray,  # (NSEQ_PAD,) int32 — match offset
+    s_mlc: jnp.ndarray,  # (NSEQ_PAD,) int32 — match length code (ml-4)
+    s_match: jnp.ndarray,  # (NSEQ_PAD,) int32 — 1 when the sequence has a match
+    nseq: jnp.ndarray,  # () int32
+    *,
+    comp_pad: int,
+):
+    """Stage 5: serialize a (merged) sequence table to LZ4 wire bytes."""
+    nseq_pad = s_ll.shape[0]
     seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
     real = seq_i < nseq
-    s_clen = jnp.where(real, s_clen, 0)
-    ccum = jnp.cumsum(s_clen)
-    s_coff = ccum - s_clen
+
+    def lsic_n(v):
+        return jnp.where(v >= 15, (v - 15) // 255 + 1, 0)
+
+    comp_len = 1 + lsic_n(s_ll) + s_ll + jnp.where(s_match == 1, 2 + lsic_n(s_mlc), 0)
+    comp_len = jnp.where(real, comp_len, 0)
+    ccum = packing.tiled_cumsum(comp_len)
+    s_coff = ccum - comp_len
     total_comp = ccum[nseq_pad - 1]
 
-    # --- 5b. byte-level emission -------------------------------------------
     q = jnp.arange(comp_pad, dtype=jnp.int32)
     z = jnp.zeros(comp_pad, dtype=jnp.int32)
     z = z.at[jnp.where(real, s_coff, comp_pad)].max(seq_i, mode="drop")
-    sq = jax.lax.associative_scan(jnp.maximum, z)
+    sq = packing.tiled_cummax(z)
 
-    ll = s_lit_len[sq]
-    src = s_lit_src[sq]
+    ll = s_ll[sq]
+    src = s_ls[sq]
     off = s_off[sq]
     mlcq = s_mlc[sq]
     hasm = s_match[sq] == 1
@@ -244,9 +258,7 @@ def encode_core(
     t2 = t1 + ll
     ml_v = mlcq - 15
 
-    token = (
-        (jnp.minimum(ll, 15) << 4) | jnp.where(hasm, jnp.minimum(mlcq, 15), 0)
-    )
+    token = (jnp.minimum(ll, 15) << 4) | jnp.where(hasm, jnp.minimum(mlcq, 15), 0)
     lsic_ll = jnp.minimum(ll_v - 255 * (delta - 1), 255)
     lit_byte = packing.gather_bytes(words, src + (delta - t1)).astype(jnp.int32)
     off_byte = jnp.where(delta == t2, off & 0xFF, off >> 8)
@@ -266,12 +278,91 @@ def encode_core(
         ),
     )
     out = jnp.where(q < total_comp, val, 0).astype(jnp.uint8)
-    return out, total_comp, nseq
+    return out, total_comp
 
 
-_encode_kernel = partial(jax.jit, static_argnames=("levels", "comp_pad", "nseq_pad"))(
-    encode_core
-)
+def encode_chunk_core(u8, words, d, n, *, levels, comp_pad, nseq_pad):
+    """Single-chunk encode (match + final literal record + emission) as one
+    traceable function, chunk-local coordinates — the per-frame-block kernel
+    for the sharded pipelines (vmap/shard_map composable)."""
+    ll, ls, off, ml, nm, last_end = match_core(
+        u8, d, n, levels=levels, nseq_pad=nseq_pad
+    )
+    seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
+    ll = ll.at[nm].set(n - last_end)
+    ls = ls.at[nm].set(last_end)
+    mlc = jnp.clip(ml - 4, 0, None)
+    s_match = (seq_i < nm).astype(jnp.int32)
+    return emit_core(words, ll, ls, off, mlc, s_match, nm + 1, comp_pad=comp_pad)
+
+
+_match_kernel = partial(jax.jit, static_argnames=("levels", "nseq_pad"))(match_core)
+_emit_kernel = partial(jax.jit, static_argnames=("comp_pad",))(emit_core)
+
+_ROW_BUCKETS = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256]
+
+
+def _row_bucket(b: int) -> int:
+    for rb in _ROW_BUCKETS:
+        if rb >= b:
+            return rb
+    return -(-b // 256) * 256
+
+
+@partial(jax.jit, static_argnames=("levels", "nseq_pad"))
+def _match_batch(rows, dlen, tlen, *, levels, nseq_pad):
+    f = partial(match_core, levels=levels, nseq_pad=nseq_pad)
+    return jax.vmap(f)(rows, dlen, tlen)
+
+
+@dataclass
+class _Merged:
+    ll: np.ndarray
+    ls: np.ndarray
+    off: np.ndarray
+    mlc: np.ndarray
+    match: np.ndarray
+    nseq: int
+
+
+def _merge_tables(chunks, data_len: int) -> _Merged:
+    """Stitch per-chunk match tables (chunk coords) into one global table.
+
+    chunks: list of (lit_len, lit_start, off, mlen, nmatch, last_end, d, base)
+    where base is the chunk data's global start and d its dictionary length.
+    Literal runs merge across chunk boundaries: each chunk's trailing
+    literals become the head of the next chunk's first sequence.
+    """
+    ll_out, ls_out, off_out, mlc_out = [], [], [], []
+    carry_start = 0  # global position where the pending literal run begins
+    for ll, ls, off, ml, nm, last_end, d, base in chunks:
+        nm = int(nm)
+        if nm == 0:
+            continue  # whole chunk rides the literal carry
+        g = base - int(d)  # chunk coord -> global data coord
+        ll = ll[:nm].astype(np.int64)
+        ls = ls[:nm].astype(np.int64) + g
+        # First sequence absorbs the carried literal run.
+        m0 = ls[0] + ll[0]
+        ls[0] = carry_start
+        ll[0] = m0 - carry_start
+        ll_out.append(ll)
+        ls_out.append(ls)
+        off_out.append(off[:nm])
+        mlc_out.append(ml[:nm] - 4)
+        carry_start = int(last_end) + g
+    # Final literal-only sequence.
+    ll_out.append(np.array([data_len - carry_start], np.int64))
+    ls_out.append(np.array([carry_start], np.int64))
+    off_out.append(np.array([0], np.int32))
+    mlc_out.append(np.array([0], np.int32))
+    ll = np.concatenate(ll_out).astype(np.int32)
+    ls = np.concatenate(ls_out).astype(np.int32)
+    off = np.concatenate(off_out).astype(np.int32)
+    mlc = np.concatenate(mlc_out).astype(np.int32)
+    match = np.ones(ll.shape[0], np.int32)
+    match[-1] = 0
+    return _Merged(ll, ls, off, mlc, match, ll.shape[0])
 
 
 def _as_u8(data) -> np.ndarray:
@@ -280,6 +371,10 @@ def _as_u8(data) -> np.ndarray:
     if len(data) == 0:
         return np.empty(0, np.uint8)
     return np.frombuffer(data, dtype=np.uint8)
+
+
+def _levels_for(pad: int) -> int:
+    return min(14 if pad <= (1 << 20) else 12, max(2, (pad - 1).bit_length()))
 
 
 def compress_block_device(
@@ -293,51 +388,108 @@ def compress_block_device(
 
     ``verify`` roundtrips the result through the independent host decoder and
     falls back to the host encoder on any mismatch (the guard against
-    fingerprint collisions in the LCP stage). Returns bytes, or the device
-    uint8 array plus length when ``as_array`` is true.
+    fingerprint collisions in the LCP stage). Returns bytes, or
+    (device uint8 array, length) when ``as_array`` is true.
     """
     src = _as_u8(data)
-    dic = _as_u8(ext_dict)
+    dic = _as_u8(ext_dict)[-WINDOW_SIZE:]
     dlen = int(dic.shape[0])
-    buf = np.concatenate([dic, src]) if dlen else src
-    n = int(buf.shape[0])
-    pad = packing.size_bucket(max(n + 4, 8))
-    # Max match = 4 + 2^(levels+1) - 1; longer matches split into extra
-    # sequences (~3 B each). Small inputs afford more fingerprint levels.
-    levels = min(14 if pad <= (1 << 20) else 12, max(2, (pad - 1).bit_length()))
-    comp_pad = packing.size_bucket(get_maximum_output_size(src.shape[0]))
-    nseq_pad = packing.size_bucket(max(8, pad // 4 + 2), minimum=256)
+    n_data = int(src.shape[0])
 
-    u8 = jnp.asarray(packing.pad_to(buf, pad))
-    words = jnp.asarray(packing.pad_to(buf, pad).view("<u4"))
-    out, total_comp, _ = _encode_kernel(
-        u8,
-        words,
-        jnp.int32(dlen),
-        jnp.int32(n),
-        levels=levels,
+    chunks = []
+    if n_data + dlen + 4 <= _CHUNK_W:
+        # Single chunk at a per-size bucket.
+        buf = np.concatenate([dic, src]) if dlen else src
+        pad = packing.size_bucket(max(buf.shape[0] + 4, 8))
+        nseq_pad = packing.size_bucket(max(8, pad // 4 + 2), minimum=256)
+        res = _match_kernel(
+            jnp.asarray(packing.pad_to(buf, pad)),
+            jnp.int32(dlen),
+            jnp.int32(buf.shape[0]),
+            levels=_levels_for(pad),
+            nseq_pad=nseq_pad,
+        )
+        ll, ls, off, ml, nm, last_end = (np.asarray(x) for x in res)
+        chunks.append((ll, ls, off, ml, nm, last_end, dlen, 0))
+    else:
+        # Fixed-width rows: [dict (<= 64 KiB) | data chunk | zero slack].
+        # Row count is bucketed so the batched kernel compiles per bucket,
+        # not per input size.
+        nrows = -(-n_data // _CHUNK_C)
+        brows = _row_bucket(nrows)
+        rows_np = np.zeros((brows, _CHUNK_W), np.uint8)
+        dvec = np.zeros(brows, np.int32)
+        tvec = np.zeros(brows, np.int32)
+        meta = []
+        for i in range(nrows):
+            base = i * _CHUNK_C
+            blk = src[base : base + _CHUNK_C]
+            if i == 0:
+                dd = dic
+            else:
+                dd = src[max(0, base - WINDOW_SIZE) : base]
+            rows_np[i, : dd.shape[0]] = dd
+            rows_np[i, dd.shape[0] : dd.shape[0] + blk.shape[0]] = blk
+            dvec[i] = dd.shape[0]
+            tvec[i] = dd.shape[0] + blk.shape[0]
+            meta.append((dd.shape[0], base))
+        nseq_pad = packing.size_bucket(_CHUNK_W // 4 + 2, minimum=256)
+        ll, ls, off, ml, nm, last_end = _match_batch(
+            jnp.asarray(rows_np),
+            jnp.asarray(dvec),
+            jnp.asarray(tvec),
+            levels=_levels_for(_CHUNK_W),
+            nseq_pad=nseq_pad,
+        )
+        nm_h = np.asarray(nm)
+        le_h = np.asarray(last_end)
+        for i in range(nrows):
+            k = int(nm_h[i])
+            chunks.append(
+                (
+                    np.asarray(ll[i, :k]),
+                    np.asarray(ls[i, :k]),
+                    np.asarray(off[i, :k]),
+                    np.asarray(ml[i, :k]),
+                    k,
+                    int(le_h[i]),
+                    meta[i][0],
+                    meta[i][1],
+                )
+            )
+
+    merged = _merge_tables(chunks, n_data)
+    comp_pad = packing.size_bucket(get_maximum_output_size(n_data))
+    nseq_pad_g = packing.size_bucket(max(8, merged.nseq), minimum=256)
+    src_pad = packing.size_bucket(max(n_data, 4))
+    out, total_comp = _emit_kernel(
+        jnp.asarray(packing.pad_to(src, src_pad).view("<u4")),
+        jnp.asarray(packing.pad_to(merged.ll, nseq_pad_g)),
+        jnp.asarray(packing.pad_to(merged.ls, nseq_pad_g)),
+        jnp.asarray(packing.pad_to(merged.off, nseq_pad_g, fill=1)),
+        jnp.asarray(packing.pad_to(merged.mlc, nseq_pad_g)),
+        jnp.asarray(packing.pad_to(merged.match, nseq_pad_g)),
+        jnp.int32(merged.nseq),
         comp_pad=comp_pad,
-        nseq_pad=nseq_pad,
     )
     total = int(total_comp)
     if as_array and not verify:
         return out, total
     comp = np.asarray(out[:total]).tobytes()
     if verify:
+        from ..block import compress_with_dict as _host_c
         from ..block import decompress, decompress_with_dict
 
         try:
             back = (
-                decompress_with_dict(comp, src.shape[0], dic)
+                decompress_with_dict(comp, n_data, dic)
                 if dlen
-                else decompress(comp, src.shape[0])
+                else decompress(comp, n_data)
             )
             ok = back == src.tobytes()
         except Exception:
             ok = False
         if not ok:  # pragma: no cover - fingerprint collision path
-            from ..block import compress_with_dict as _host_c
-
             return _host_c(src, dic) if dlen else _host_c(src, b"")
     if as_array:
         return out, total

@@ -75,6 +75,53 @@ def gather_words_unaligned(words: jnp.ndarray, byte_idx: jnp.ndarray) -> jnp.nda
     return funneled.astype(jnp.uint32)
 
 
+_TILE_W = 512
+
+_SCAN_OPS = {
+    "sum": (jnp.cumsum, jnp.add, 0),
+    "max": (jax.lax.cummax, jnp.maximum, None),  # identity filled per-dtype
+    "min": (jax.lax.cummin, jnp.minimum, None),
+}
+
+
+def tiled_scan(kind: str, x: jnp.ndarray, *, reverse: bool = False) -> jnp.ndarray:
+    """Inclusive cumulative scan that compiles in near-constant time.
+
+    XLA:TPU compiles cumulative ops over large 1-D arrays in O(n^2) time
+    (minutes at a few MB, hours at 10 MB) — for both lax.associative_scan
+    and the native cumsum/cummax lowerings. Reshaped to (rows, 512), the
+    native cumulative ops along the short static axis compile in ~2 s
+    regardless of n; a carry scan over row totals stitches rows together.
+    """
+    op, fn, identity = _SCAN_OPS[kind]
+    if identity is None:
+        identity = (
+            jnp.iinfo(x.dtype).min if kind == "max" else jnp.iinfo(x.dtype).max
+        )
+    n = x.shape[0]
+    if reverse:
+        return jnp.flip(tiled_scan(kind, jnp.flip(x)))
+    if n <= 4 * _TILE_W or n % _TILE_W:
+        return op(x)
+    rows = x.reshape(-1, _TILE_W)
+    inner = op(rows, axis=1)
+    totals = inner[:, -1]
+    if totals.shape[0] > 4 * _TILE_W and totals.shape[0] % _TILE_W == 0:
+        carry_inc = tiled_scan(kind, totals)
+    else:
+        carry_inc = op(totals)
+    carry = jnp.concatenate([jnp.full(1, identity, x.dtype), carry_inc[:-1]])
+    return fn(inner, carry[:, None]).reshape(-1)
+
+
+def tiled_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    return tiled_scan("sum", x)
+
+
+def tiled_cummax(x: jnp.ndarray) -> jnp.ndarray:
+    return tiled_scan("max", x)
+
+
 def lsic_tables(u8: jnp.ndarray):
     """Vectorized LSIC (Linear Small-Integer Code) run decode.
 
@@ -94,7 +141,7 @@ def lsic_tables(u8: jnp.ndarray):
     non_ff = u8 != 0xFF
     # Reverse cummin of (pos where non-ff else n-1): first non-0xFF at/after q.
     cand = jnp.where(non_ff, pos, n - 1)
-    nz_next = jax.lax.associative_scan(jnp.minimum, cand, reverse=True)
+    nz_next = tiled_scan("min", cand, reverse=True)
     run = nz_next - pos
     value = run * 255 + u8[nz_next].astype(jnp.int32)
     nbytes = run + 1

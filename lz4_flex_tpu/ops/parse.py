@@ -72,7 +72,9 @@ def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
     sent = pad
     J = jnp.where(pos < n, jnp.clip(nxt, 0, sent), sent)
     J = jnp.concatenate([J, jnp.array([sent], jnp.int32)])
-    M = jnp.zeros(pad + 1, dtype=jnp.int32).at[0].set(1)
+    # zeros_like(J), not zeros(...): the loop carry must inherit J's batching
+    # under vmap or the fori carry types mismatch.
+    M = jnp.zeros_like(J).at[0].set(1)
 
     rounds = max(1, (pad + 1).bit_length())
 
@@ -87,7 +89,7 @@ def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
 
     # --- output offsets: masked exclusive prefix sum ----------------------
     inc = jnp.where(on_chain, out_inc, 0)
-    cum = jnp.cumsum(inc)
+    cum = packing.tiled_cumsum(inc)
     out_off = cum - inc
     total_out = cum[pad - 1]
 
@@ -102,7 +104,7 @@ def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
     ) | ~terminated
 
     # --- compaction to a fixed-width sequence table -----------------------
-    rank = jnp.cumsum(on_chain.astype(jnp.int32)) - 1
+    rank = packing.tiled_cumsum(on_chain.astype(jnp.int32)) - 1
     nseq = rank[pad - 1] + 1
     tgt = jnp.where(on_chain, rank, nseq_pad)  # dropped when not on chain
 

@@ -25,9 +25,8 @@ import jax.numpy as jnp
 
 from ..spec.constants import WINDOW_SIZE, get_maximum_output_size
 from ..ops import packing
-from ..ops.decode import expand_core
-from ..ops.encode import encode_core
-from ..ops.parse import parse_core
+from ..ops.decode import decode_resident_core as _decode_one
+from ..ops.encode import encode_chunk_core
 from .mesh import BLOCK_AXIS, codec_mesh
 
 try:  # jax >= 0.4.35 exposes shard_map at the top level
@@ -76,32 +75,11 @@ def stage_blocks(data, block_size: int, *, linked: bool = False, pad_rows_to: in
 
 
 def _encode_batch(rows, words, dlen, tlen, *, levels, comp_pad, nseq_pad):
-    f = partial(encode_core, levels=levels, comp_pad=comp_pad, nseq_pad=nseq_pad)
-    out, total, _ = jax.vmap(f)(rows, words, dlen, tlen)
-    return out, total
-
-
-def _decode_one(u8, clen, *, out_pad, nseq_pad):
-    """Fused device parse + expand for one independent block."""
-    ls, ll, mo, ml, oo, nseq, total, errs = parse_core(u8, clen, nseq_pad=nseq_pad)
-    seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
-    real = seq_i < nseq
-    oo = jnp.where(real, oo, out_pad)
-    mo = jnp.where(real, mo, 1)
-    words = packing.bytes_to_words(u8)
-    out = expand_core(
-        words,
-        jnp.zeros(1, jnp.uint32),
-        oo,
-        ls,
-        ll,
-        mo,
-        jnp.int32(0),
-        total,
-        out_pad=out_pad,
-        has_dict=False,
+    f = partial(
+        encode_chunk_core, levels=levels, comp_pad=comp_pad, nseq_pad=nseq_pad
     )
-    return out, total, errs
+    out, total = jax.vmap(f)(rows, words, dlen, tlen)
+    return out, total
 
 
 def _decode_batch(rows, clen, *, out_pad, nseq_pad):
@@ -120,6 +98,26 @@ def encode_blocks_sharded(data, block_size: int, *, linked: bool = False, mesh=N
     Returns (payloads: list[bytes], block_lens: list[int]) in frame order;
     the frame layer wraps them in BlockInfo words and checksums.
     """
+    from ..ops.encode import _CHUNK_C
+
+    if block_size > _CHUNK_C:
+        # Blocks above the fixed chunk width use the host-orchestrated
+        # chunked device encoder per block (keeps kernel shapes fixed).
+        from ..ops.encode import compress_block_device
+
+        buf = bytes(data)
+        payloads, lens = [], []
+        window = b""
+        for pos in range(0, max(len(buf), 1), block_size):
+            blk = buf[pos : pos + block_size]
+            payloads.append(
+                compress_block_device(blk, ext_dict=window if linked else b"", verify=False)
+            )
+            lens.append(len(blk))
+            if linked:
+                window = blk[-WINDOW_SIZE:]
+        return payloads, lens
+
     if mesh is None:
         mesh = codec_mesh()
     ndev = mesh.devices.size

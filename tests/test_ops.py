@@ -148,6 +148,21 @@ def test_encode_device_small_and_incompressible():
         assert block.decompress(comp, len(data)) == data
 
 
+def test_encode_large_word_soup_roundtrip():
+    # Regression: shuffled-vocabulary text at scale triggered differential
+    # cancellation in a linear fingerprint combine (correlated ASCII pairs
+    # like '.'/',' + 's'/'c' collided), producing bogus matches. Also covers
+    # the fixed-width chunked encode path (> _CHUNK_C bytes).
+    rng = np.random.default_rng(0xC0111DE)
+    words = [bytes(w) for w in np.array_split(np.frombuffer(
+        (b"alpha beta gamma delta epsilon zeta eta theta iota kappa " * 400),
+        np.uint8), 997)]
+    data = b" ".join(words[rng.integers(0, len(words))] for _ in range(60_000))
+    data = data[:600_000]
+    comp = compress_block_device(data, verify=False)
+    assert block.decompress(comp, len(data)) == data
+
+
 def test_encode_spec_conformant_tail():
     # Spec: last 5 bytes literal, last match starts >= 12 bytes from end
     # (test_conformant_last_block analog, compress.rs:952-988).

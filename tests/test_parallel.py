@@ -28,7 +28,9 @@ from lz4_flex_tpu.parallel import (
 
 
 def _data(size=40_000):
-    rng = np.random.Random(42)
+    import random
+
+    rng = random.Random(42)
     out = bytearray()
     words = [b"alpha", b"beta", b"gamma", b"delta", bytes(rng.randrange(256) for _ in range(16))]
     while len(out) < size:
