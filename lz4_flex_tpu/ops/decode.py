@@ -156,14 +156,15 @@ def expand_core(
 _expand_kernel = partial(jax.jit, static_argnames=("out_pad", "has_dict"))(expand_core)
 
 
-def decode_resident_core(u8, clen, *, out_pad, nseq_pad):
-    """Fully-on-device decode of one independent block: speculative parse +
+def decode_resident_core(u8, clen, *, out_pad, nseq_pad, parse_engine="doubling"):
+    """Fully-on-device decode of one independent block: on-device parse +
     expansion fused in one traceable function. Input and output stay in HBM
     (the production shape: compressed bytes feed a device pipeline without a
     host roundtrip). Returns (out[out_pad] uint8, total_out, error_flags)."""
-    from .parse import parse_core
+    from .parse import parse_core, parse_walk_core
 
-    ls, ll, mo, ml, oo, nseq, total, errs = parse_core(u8, clen, nseq_pad=nseq_pad)
+    parse = parse_walk_core if parse_engine == "walk" else parse_core
+    ls, ll, mo, ml, oo, nseq, total, errs = parse(u8, clen, nseq_pad=nseq_pad)
     seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
     real = seq_i < nseq
     oo = jnp.where(real, oo, out_pad)
@@ -184,9 +185,9 @@ def decode_resident_core(u8, clen, *, out_pad, nseq_pad):
     return out, total, errs
 
 
-decode_resident = partial(jax.jit, static_argnames=("out_pad", "nseq_pad"))(
-    decode_resident_core
-)
+decode_resident = partial(
+    jax.jit, static_argnames=("out_pad", "nseq_pad", "parse_engine")
+)(decode_resident_core)
 
 _EMPTY_WORDS = np.zeros(1, dtype=np.uint32)
 

@@ -31,15 +31,17 @@ from . import packing
 from .sequences import SeqTable
 
 
-def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
-    """The speculative parse as a plain traceable function (vmap/shard_map
-    composable). Returns (lit_start, lit_len, match_off, match_len, out_off,
-    nseq, total_out, error_flags) with nseq_pad-padded sequence arrays."""
+def _speculative_tables(u8: jnp.ndarray, n: jnp.ndarray):
+    """Decode a sequence header at EVERY byte position (vectorized).
+
+    Returns per-position arrays: (nxt, lit_start, lit_len, offset, match_len,
+    out_inc, is_final, flag_lit_oob, flag_truncated, flag_offset_zero,
+    flag_terminated). Flags describe what holds IF a real sequence starts at
+    that position."""
     pad = u8.shape[0]
     pos = jnp.arange(pad, dtype=jnp.int32)
     u = u8.astype(jnp.int32)
 
-    # --- speculative field extraction at every position -------------------
     lsic_val, lsic_nb = packing.lsic_tables(u8)
 
     def at(arr, idx):
@@ -65,6 +67,32 @@ def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
     ml = jnp.where(is_final, 0, ml)
     nxt = jnp.where(is_final, n, nxt)
     out_inc = ll + ml
+
+    # A literal-length LSIC field running off the end is truncation (host
+    # parser semantics) even though the bogus decoded length also makes the
+    # position look like an overlong final sequence.
+    f_lsic_trunc = ll_ext & (pos + 1 + at(lsic_nb, pos + 1) > n)
+    f_lit_oob = is_final & (off_pos > n) & ~f_lsic_trunc
+    f_terminated = is_final & (off_pos == n) & ~f_lsic_trunc
+    f_offset_zero = ~is_final & (offset == 0)
+    f_truncated = f_lsic_trunc | (~is_final & ((off_pos + 2 > n) | (nxt > n)))
+    return (
+        nxt, lit_start, ll, offset, ml, out_inc,
+        is_final, f_lit_oob, f_truncated, f_offset_zero, f_terminated,
+    )
+
+
+def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
+    """The speculative parse as a plain traceable function (vmap/shard_map
+    composable). Returns (lit_start, lit_len, match_off, match_len, out_off,
+    nseq, total_out, error_flags) with nseq_pad-padded sequence arrays."""
+    pad = u8.shape[0]
+    pos = jnp.arange(pad, dtype=jnp.int32)
+
+    (
+        nxt, lit_start, ll, offset, ml, out_inc,
+        is_final, f_lit_oob, f_truncated, f_offset_zero, f_terminated,
+    ) = _speculative_tables(u8, n)
 
     # --- chain reachability by pointer doubling ---------------------------
     # Slot `pad` is the terminal sentinel; position n (the end of the stream)
@@ -94,14 +122,14 @@ def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
     total_out = cum[pad - 1]
 
     # --- error taxonomy (only chain positions count) ----------------------
-    err_lit_oob = jnp.any(on_chain & is_final & (off_pos > n))
-    terminated = jnp.any(on_chain & is_final & (off_pos == n))
-    err_offset_zero = jnp.any(on_chain & ~is_final & (offset == 0))
-    err_truncated = jnp.any(
-        on_chain
-        & ~is_final
-        & ((off_pos + 2 > n) | (nxt > n) | (ll_ext & (pos + 1 + at(lsic_nb, pos + 1) > n)))
-    ) | ~terminated
+    # "Never terminated" counts as truncation only when no specific error
+    # explains it (error-type parity with the host parser).
+    err_lit_oob = jnp.any(on_chain & f_lit_oob)
+    terminated = jnp.any(on_chain & f_terminated)
+    err_offset_zero = jnp.any(on_chain & f_offset_zero)
+    err_truncated = jnp.any(on_chain & f_truncated) | (
+        ~terminated & ~err_lit_oob & ~err_offset_zero
+    )
 
     # --- compaction to a fixed-width sequence table -----------------------
     rank = packing.tiled_cumsum(on_chain.astype(jnp.int32)) - 1
@@ -125,15 +153,104 @@ def parse_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
     )
 
 
+def parse_walk_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
+    """Token-walk parse: the speculative per-position tables are computed
+    vectorized, then the real chain is walked sequentially on the scalar
+    core with a while_loop emitting one sequence per step.
+
+    Same interface as parse_core. Why both exist: the walk costs
+    O(nseq) sequential steps (~1.5 us/step solo, ~7x cheaper per element
+    when vmapped — lanes walk in lockstep), while the pointer-doubling
+    reachability costs O(log n) full-array scatter+gather rounds at the
+    ~110 M elem/s scalar gather rate (PERF.md). For frame-sized blocks,
+    batched walks win by ~50x; the doubling version remains the
+    fully-parallel formulation.
+    """
+    (
+        nxt, lit_start, ll, offset, ml, out_inc,
+        is_final, f_lit_oob, f_truncated, f_offset_zero, f_terminated,
+    ) = _speculative_tables(u8, n)
+    # One packed row per position so each walk step is a single dynamic slice.
+    tbl = jnp.stack(
+        [
+            nxt,
+            lit_start,
+            ll,
+            offset,
+            ml,
+            (
+                f_lit_oob.astype(jnp.int32)
+                | (f_truncated.astype(jnp.int32) << 1)
+                | (f_offset_zero.astype(jnp.int32) << 2)
+                | (f_terminated.astype(jnp.int32) << 3)
+                | (is_final.astype(jnp.int32) << 4)
+            ),
+        ],
+        axis=1,
+    )
+    pad = u8.shape[0]
+
+    def cond(c):
+        ip, _opos, i, _err, _done, _R = c
+        return jnp.logical_and(i < nseq_pad, ip < n)
+
+    def body(c):
+        ip, opos, i, err, done, R = c
+        row = jax.lax.dynamic_slice(tbl, (jnp.clip(ip, 0, pad - 1), 0), (1, 6))
+        nxt_i, ll_i, ml_i, flags = row[0, 0], row[0, 2], row[0, 4], row[0, 5]
+        # One packed row write per step (five separate array writes measured
+        # ~3x slower per step): [lit_start, lit_len, off, match_len, out_off, _].
+        rec = jnp.stack(
+            [row[0, 1], ll_i, row[0, 3], ml_i, opos, flags]
+        ).reshape(1, 6)
+        R = jax.lax.dynamic_update_slice(R, rec, (i, 0))
+        err = err | (flags & 0b111)
+        done = done | ((flags >> 3) & 1)
+        bad = (flags & 0b111) != 0
+        ip = jnp.where(bad, n, nxt_i)
+        return ip, opos + ll_i + ml_i, i + 1, err, done, R
+
+    # Carries add 0*n so they inherit n's batching under vmap (see the
+    # zeros_like note in parse_core).
+    zb = (n * 0).astype(jnp.int32)
+    R0 = jnp.zeros((nseq_pad, 6), jnp.int32).at[:, 2].set(1) + zb
+    init = (zb, zb, zb, zb, zb, R0)
+    ip, opos, i, err, done, R = jax.lax.while_loop(cond, body, init)
+    LS, LL, MO, ML, OO = R[:, 0], R[:, 1], R[:, 2], R[:, 3], R[:, 4]
+    # "Never terminated" counts as truncation only when no specific error
+    # explains the stop (parity with the doubling engine / host parser).
+    other = (err & 0b101) != 0
+    errs = jnp.stack(
+        [
+            (err & 1) == 1,
+            (((err >> 1) & 1) == 1) | ((done == 0) & ~other),
+            ((err >> 2) & 1) == 1,
+        ]
+    )
+    return LS, LL, MO, ML, OO, i, opos, errs
+
+
 _parse_kernel = partial(jax.jit, static_argnames=("nseq_pad",))(parse_core)
+_parse_walk_kernel = partial(jax.jit, static_argnames=("nseq_pad",))(parse_walk_core)
 
 
-def parse_sequences_device(data) -> SeqTable:
+def default_parse_engine() -> str:
+    """"walk" on TPU (lockstep sequential walks are ~50x cheaper than
+    doubling there), "doubling" elsewhere (CPU while_loops iterate in ~us,
+    making the vectorized form faster)."""
+    return "walk" if jax.default_backend() == "tpu" else "doubling"
+
+
+def parse_sequences_device(data, *, engine: str | None = None) -> SeqTable:
     """Parse a compressed block into a SeqTable entirely on the device.
 
-    Raises the block error taxonomy on malformed input, mirroring the host
-    parser (sequences.parse_sequences_host).
+    ``engine``: "walk" (sequential token walk) or "doubling"
+    (pointer-doubling reachability, the fully-parallel form); default picks
+    by platform. Raises the block error taxonomy on malformed input,
+    mirroring the host parser (sequences.parse_sequences_host).
     """
+    if engine is None:
+        engine = default_parse_engine()
     comp = (
         np.ascontiguousarray(data, dtype=np.uint8)
         if isinstance(data, np.ndarray)
@@ -145,14 +262,17 @@ def parse_sequences_device(data) -> SeqTable:
     pad = packing.size_bucket(n)
     nseq_pad = packing.size_bucket(max(4, pad // 3 + 2), minimum=256)
     u8 = jnp.asarray(packing.pad_to(comp, pad))
-    ls, ll, mo, ml, oo, nseq, total, errs = _parse_kernel(
+    kernel = _parse_walk_kernel if engine == "walk" else _parse_kernel
+    ls, ll, mo, ml, oo, nseq, total, errs = kernel(
         u8, jnp.int32(n), nseq_pad=nseq_pad
     )
     errs = np.asarray(errs)
-    if errs[0]:
-        raise block_errors.LiteralOutOfBounds()
+    # Truncation first: a run-off LSIC field sets both flags, and the host
+    # parser reports it as ExpectedAnotherByte.
     if errs[1]:
         raise block_errors.ExpectedAnotherByte()
+    if errs[0]:
+        raise block_errors.LiteralOutOfBounds()
     if errs[2]:
         raise block_errors.OffsetZero()
     nseq = int(nseq)

@@ -83,7 +83,14 @@ def _encode_batch(rows, words, dlen, tlen, *, levels, comp_pad, nseq_pad):
 
 
 def _decode_batch(rows, clen, *, out_pad, nseq_pad):
-    f = partial(_decode_one, out_pad=out_pad, nseq_pad=nseq_pad)
+    from ..ops.parse import default_parse_engine
+
+    f = partial(
+        _decode_one,
+        out_pad=out_pad,
+        nseq_pad=nseq_pad,
+        parse_engine=default_parse_engine(),
+    )
     return jax.vmap(f)(rows, clen)
 
 
@@ -240,6 +247,8 @@ def decode_blocks_sharded(payloads, block_size: int, *, mesh=None):
 
         bad = int(np.argwhere(errs_h.any(axis=1))[0][0])
         flags = errs_h[bad]
+        if flags[1]:
+            raise block_errors.ExpectedAnotherByte()
         if flags[0]:
             raise block_errors.LiteralOutOfBounds()
         if flags[2]:

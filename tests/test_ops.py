@@ -84,6 +84,15 @@ def test_parse_errors_match_host():
             parse_sequences_device(raw)
 
 
+def test_parse_walk_matches_doubling(corpus_34k):
+    comp = block.compress(corpus_34k)
+    w = parse_sequences_device(comp, engine="walk")
+    d = parse_sequences_device(comp, engine="doubling")
+    assert w.nseq == d.nseq and w.total_out == d.total_out
+    for f in ["lit_start", "lit_len", "match_off", "match_len", "out_off"]:
+        np.testing.assert_array_equal(getattr(w, f), getattr(d, f))
+
+
 def test_device_parse_matches_host_parse(corpus_set):
     for name, data in corpus_set.items():
         comp = block.compress(data)
