@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency report: the sharded codec step over 1..N devices.
+
+Runs roundtrip_step_sharded (batched encode, compressed-length all-gather,
+batched decode, on-device roundtrip check — one jit) over meshes of
+increasing size and reports throughput + efficiency vs 1 device.
+
+On a CPU host this exercises the sharding with virtual devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) — the wiring that a
+real pod slice runs over ICI/DCN; absolute numbers only mean something on
+real chips. Usage: python benchmarks/scaling.py [--block-size 16384]
+"""
+
+import argparse
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--block-size", type=int, default=16384)
+    ap.add_argument("--blocks-per-device", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--platform",
+        default="cpu",
+        help="jax platform; pass 'tpu' on a real multi-chip slice "
+        "(default cpu = 8 virtual devices for wiring validation)",
+    )
+    args = ap.parse_args()
+    os.environ.setdefault("JAX_PLATFORMS", args.platform)
+
+    import jax
+
+    # Accelerator plugins can shadow the env var; pin explicitly.
+    jax.config.update("jax_platforms", args.platform)
+    from jax.sharding import Mesh
+
+    from lz4_flex_tpu.parallel.mesh import BLOCK_AXIS
+    from lz4_flex_tpu.parallel.pipeline import roundtrip_step_sharded
+
+    devices = jax.devices()
+    sizes = sorted({1, 2, len(devices) // 2, len(devices)} - {0})
+    sizes = [s for s in sizes if s <= len(devices)]
+
+    rng = np.random.default_rng(7)
+    vocab = [bytes(rng.integers(97, 123, rng.integers(3, 9)).tobytes()) for _ in range(512)]
+
+    rows = []
+    base = None
+    for nd in sizes:
+        mesh = Mesh(np.asarray(devices[:nd]), (BLOCK_AXIS,))
+        nblocks = nd * args.blocks_per_device
+        data = b" ".join(
+            vocab[rng.integers(0, len(vocab))]
+            for _ in range(nblocks * args.block_size // 6)
+        )[: nblocks * args.block_size]
+        comp, lens, offsets, ok = roundtrip_step_sharded(
+            data, args.block_size, mesh=mesh
+        )
+        assert bool(ok)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            comp, lens, offsets, ok = roundtrip_step_sharded(
+                data, args.block_size, mesh=mesh
+            )
+        jax.block_until_ready(lens)
+        dt = (time.perf_counter() - t0) / args.iters
+        thr = len(data) / dt / 2**20
+        if base is None:
+            base = thr
+        eff = thr / (base * nd)
+        rows.append((nd, len(data), thr, eff))
+
+    print(f"{'devices':>8} {'bytes':>10} {'MiB/s':>10} {'efficiency':>11}")
+    for nd, nb, thr, eff in rows:
+        print(f"{nd:>8} {nb:>10} {thr:>10.1f} {eff:>10.0%}")
+
+
+if __name__ == "__main__":
+    main()

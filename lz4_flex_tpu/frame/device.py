@@ -82,9 +82,13 @@ def compress_frame_device(data, frame_info: FrameInfo | None = None, *, mesh=Non
     return bytes(out)
 
 
-def decompress_frame_device(data) -> bytes:
-    """Decompress every concatenated frame in ``data`` with one fused device
-    expansion per frame."""
+def decompress_frame_device(data, *, mesh=None) -> bytes:
+    """Decompress every concatenated frame in ``data`` on the device.
+
+    Independent-mode frames whose blocks are all compressed shard
+    data-parallel over ``mesh`` when one is given; everything else (linked
+    frames, stored blocks, legacy frames) goes through the fused global
+    expansion (one device call per frame)."""
     from ..ops.decode import decode_parts_fused
     from ..spec.constants import (
         MAGIC_NUMBER_SIZE,
@@ -154,11 +158,26 @@ def decompress_frame_device(data) -> bytes:
                     raise errors.BlockChecksumError()
             parts.append((payload, info.kind is BlockInfoKind.Compressed))
 
-        # ---- fused device decode -----------------------------------------
+        # ---- device decode ------------------------------------------------
         from ..block.errors import DecompressError
 
         try:
-            out = decode_parts_fused(parts)
+            if (
+                mesh is not None
+                and not fi.legacy_frame
+                and fi.block_mode == BlockMode.Independent
+                and len(parts) > 1
+                and all(is_comp for _, is_comp in parts)
+            ):
+                from ..parallel.pipeline import decode_blocks_sharded
+
+                out = b"".join(
+                    decode_blocks_sharded(
+                        [p for p, _ in parts], max_block_size, mesh=mesh
+                    )
+                )
+            else:
+                out = decode_parts_fused(parts)
         except DecompressError as e:
             raise errors.DecompressionError(e) from e
 

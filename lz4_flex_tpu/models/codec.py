@@ -63,7 +63,7 @@ class LZ4Codec:
     def decompress(self, data) -> bytes:
         from ..frame.device import decompress_frame_device
 
-        return decompress_frame_device(data)
+        return decompress_frame_device(data, mesh=self.mesh)
 
     def compress_block(self, data, ext_dict=b"") -> bytes:
         from ..ops.encode import compress_block_device

@@ -199,14 +199,26 @@ def roundtrip_step_sharded(data, block_size: int, *, mesh=None):
         return comp, total, offsets, ok
 
     spec = P(BLOCK_AXIS)
-    sharded = jax.jit(
-        shard_map(
+    # offsets and the ok flag are all-gathered/reduced inside the step —
+    # replicated outputs, not per-shard ones; the static replication checker
+    # cannot infer that through the gather+cumsum, hence check_vma=False.
+    try:
+        smap = shard_map(
             step,
             mesh=mesh,
             in_specs=(spec, spec, spec, spec),
-            out_specs=(spec, spec, spec, P()),
+            out_specs=(spec, spec, P(), P()),
+            check_vma=False,
         )
-    )
+    except TypeError:  # pragma: no cover - older jax spells it check_rep
+        smap = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, P(), P()),
+            check_rep=False,
+        )
+    sharded = jax.jit(smap)
     return sharded(
         jnp.asarray(rows),
         jnp.asarray(rows.view("<u4")),

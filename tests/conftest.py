@@ -7,13 +7,20 @@ multi-chip path and benches on a real chip).
 
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere in the test process. NOTE: a
+# pre-registered accelerator plugin (e.g. the axon TPU tunnel) overrides the
+# JAX_PLATFORMS env var, so the jax.config update below is the one that
+# actually pins tests to the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import random

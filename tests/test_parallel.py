@@ -141,6 +141,14 @@ def test_frame_device_empty():
     assert decompress_frame_device(compress_frame_device(b"")) == b""
 
 
+def test_frame_device_sharded_decode():
+    # Independent all-compressed frames (several blocks) route through
+    # decode_blocks_sharded when a mesh is supplied.
+    data = _data(300_000)
+    f = compress_frame_device(data, FrameInfo(block_size=BlockSize.Max64KB))
+    assert decompress_frame_device(f, mesh=codec_mesh()) == data
+
+
 def test_codec_model_roundtrip():
     from lz4_flex_tpu.models import CodecConfig, LZ4Codec
 
