@@ -7,8 +7,9 @@ autodetection, `-d` force decompress, `-f` overwrite without prompting,
 file is given, and a compression-ratio report.
 
 Extensions: `--mode linked`, `--block-size`, `--block-checksums`,
-`--content-checksum`, `--legacy` expose the frame options; decode drains all
-concatenated frames.
+`--content-checksum`, `--legacy` expose the frame options; `--engine device`
+runs the one-shot TPU codec instead of the streaming host runtime; decode
+drains all concatenated frames.
 
 Usage: python -m lz4_flex_tpu.cli [options] [file]
 """
@@ -53,8 +54,15 @@ class _TrackWriteSize:
             self.inner.flush()
 
 
-def _copy_compress(src, dst, frame_info: FrameInfo) -> tuple[int, int]:
+def _copy_compress(src, dst, frame_info: FrameInfo, engine: str = "host") -> tuple[int, int]:
     """Compress src stream into dst stream; returns (input_size, output_size)."""
+    if engine == "device":
+        from .frame.device import compress_frame_device
+
+        data = src.read()
+        out = compress_frame_device(data, frame_info)
+        dst.write(out)
+        return len(data), len(out)
     tracker = _TrackWriteSize(dst)
     enc = FrameEncoder(tracker, frame_info)
     total = 0
@@ -68,7 +76,13 @@ def _copy_compress(src, dst, frame_info: FrameInfo) -> tuple[int, int]:
     return total, tracker.written
 
 
-def _copy_decompress(src, dst) -> int:
+def _copy_decompress(src, dst, engine: str = "host") -> int:
+    if engine == "device":
+        from .frame.device import decompress_frame_device
+
+        out = decompress_frame_device(src.read())
+        dst.write(out)
+        return len(out)
     dec = FrameDecoder(src)
     total = 0
     while True:
@@ -108,10 +122,12 @@ def _handle_file(args) -> int:
 
     if decompress:
         with open(path, "rb") as src, open(output, "wb") as dst:
-            _copy_decompress(src, dst)
+            _copy_decompress(src, dst, args.engine)
     else:
         with open(path, "rb") as src, open(output, "wb") as dst:
-            input_size, output_size = _copy_compress(src, dst, _build_frame_info(args))
+            input_size, output_size = _copy_compress(
+                src, dst, _build_frame_info(args), args.engine
+            )
         pct = output_size * 100.0 / input_size if input_size else 0.0
         print(f"Compressed {input_size} bytes into {output_size} ==> {pct:.2f}%")
 
@@ -142,6 +158,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--block-checksums", action="store_true", help="add per-block checksums")
     parser.add_argument("--content-checksum", action="store_true", help="add a content checksum")
     parser.add_argument("--legacy", action="store_true", help="write the legacy frame format")
+    parser.add_argument(
+        "--engine",
+        choices=["host", "device"],
+        default="host",
+        help="codec engine: 'host' (streaming native runtime) or 'device' "
+        "(one-shot TPU kernels via the mesh pipeline)",
+    )
     args = parser.parse_args(argv)
 
     if args.input_file is not None and args.input_file != "-":
@@ -152,9 +175,9 @@ def main(argv: list[str] | None = None) -> int:
     dst = open(args.out, "wb") if args.out else sys.stdout.buffer
     try:
         if args.decompress:
-            _copy_decompress(src, dst)
+            _copy_decompress(src, dst, args.engine)
         else:
-            _copy_compress(src, dst, _build_frame_info(args))
+            _copy_compress(src, dst, _build_frame_info(args), args.engine)
     finally:
         if args.out:
             dst.close()

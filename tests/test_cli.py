@@ -72,3 +72,20 @@ def test_legacy_flag(tmp_path, corpus_1k):
     dec = tmp_path / "leg.out"
     assert main([str(out), "-d", "-o", str(dec)]) == 0
     assert dec.read_bytes() == corpus_1k
+
+
+def test_device_engine_roundtrip(tmp_path, corpus_34k):
+    from lz4_flex_tpu import cli
+
+    src = tmp_path / "d.txt"
+    src.write_bytes(corpus_34k)
+    assert cli.main([str(src), "-f", "--engine", "device"]) == 0
+    out = tmp_path / "d.out"
+    assert (
+        cli.main([str(src) + ".lz4", "-f", "-o", str(out), "--engine", "device"]) == 0
+    )
+    assert out.read_bytes() == corpus_34k
+    # cross-engine: host reads the device-written file
+    out2 = tmp_path / "d2.out"
+    assert cli.main([str(src) + ".lz4", "-f", "-o", str(out2)]) == 0
+    assert out2.read_bytes() == corpus_34k
