@@ -17,8 +17,6 @@ from __future__ import annotations
 import io
 import struct
 
-import numpy as np
-
 from ..spec.constants import (
     LZ4F_LEGACY_MAGIC_NUMBER,
     LZ4F_MAGIC_NUMBER,

@@ -23,7 +23,7 @@ from __future__ import annotations
 import struct
 
 from ..spec.constants import LZ4F_LEGACY_MAGIC_NUMBER
-from ..utils.checksum import XxHash32, xxh32
+from ..utils.checksum import xxh32
 from . import errors
 from .header import BlockInfo, BlockInfoKind, BlockMode, BlockSize, FrameInfo
 

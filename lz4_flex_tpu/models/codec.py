@@ -9,8 +9,7 @@ steps (encode_step / decode_step) and byte-level conveniences
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
 import numpy as np
 
