@@ -191,32 +191,35 @@ def parse_walk_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
     pad = u8.shape[0]
 
     def cond(c):
-        ip, _opos, i, _err, _done, _R = c
+        ip, _opos, i, *_ = c
         return jnp.logical_and(i < nseq_pad, ip < n)
 
     def body(c):
-        ip, opos, i, err, done, R = c
-        row = jax.lax.dynamic_slice(tbl, (jnp.clip(ip, 0, pad - 1), 0), (1, 6))
-        nxt_i, ll_i, ml_i, flags = row[0, 0], row[0, 2], row[0, 4], row[0, 5]
-        # One packed row write per step (five separate array writes measured
-        # ~3x slower per step): [lit_start, lit_len, off, match_len, out_off, _].
-        rec = jnp.stack(
-            [row[0, 1], ll_i, row[0, 3], ml_i, opos, flags]
-        ).reshape(1, 6)
-        R = jax.lax.dynamic_update_slice(R, rec, (i, 0))
+        ip, opos, i, err, done, LS, LL, MO, ML, OO = c
+        row = jax.lax.dynamic_slice(tbl, (jnp.clip(ip, 0, pad - 1), 0), (1, 6))[0]
+        nxt_i, ls_i, ll_i, off_i, ml_i, flags = (
+            row[0], row[1], row[2], row[3], row[4], row[5],
+        )
+        LS = LS.at[i].set(ls_i)
+        LL = LL.at[i].set(ll_i)
+        MO = MO.at[i].set(off_i)
+        ML = ML.at[i].set(ml_i)
+        OO = OO.at[i].set(opos)
         err = err | (flags & 0b111)
         done = done | ((flags >> 3) & 1)
         bad = (flags & 0b111) != 0
         ip = jnp.where(bad, n, nxt_i)
-        return ip, opos + ll_i + ml_i, i + 1, err, done, R
+        return ip, opos + ll_i + ml_i, i + 1, err, done, LS, LL, MO, ML, OO
 
     # Carries add 0*n so they inherit n's batching under vmap (see the
-    # zeros_like note in parse_core).
+    # zeros_like note in parse_core). (A packed (nseq_pad, 6) record array
+    # with one row write per step measured ~35% SLOWER than five separate
+    # 1-D writes — dynamic_update_slice on the 2-D carry defeats the
+    # in-place update.)
     zb = (n * 0).astype(jnp.int32)
-    R0 = jnp.zeros((nseq_pad, 6), jnp.int32).at[:, 2].set(1) + zb
-    init = (zb, zb, zb, zb, zb, R0)
-    ip, opos, i, err, done, R = jax.lax.while_loop(cond, body, init)
-    LS, LL, MO, ML, OO = R[:, 0], R[:, 1], R[:, 2], R[:, 3], R[:, 4]
+    za = jnp.zeros(nseq_pad, jnp.int32) + zb
+    init = (zb, zb, zb, zb, zb, za, za, za + 1, za, za)
+    ip, opos, i, err, done, LS, LL, MO, ML, OO = jax.lax.while_loop(cond, body, init)
     # "Never terminated" counts as truncation only when no specific error
     # explains the stop (parity with the doubling engine / host parser).
     other = (err & 0b101) != 0
