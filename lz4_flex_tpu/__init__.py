@@ -2,7 +2,7 @@
 
 Full capability surface of the LZ4 block and frame formats (see SURVEY.md for
 the reference inventory): one-shot and streaming APIs, external dictionaries,
-linked blocks, checksums, legacy/skippable frames and a CLI — with JAX/Pallas
+linked blocks, checksums, legacy/skippable frames and a CLI — with JAX/XLA
 device kernels for bulk encode/decode and a native C++ host runtime for
 streaming IO.
 

@@ -151,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--block-size",
-        choices=["Auto", "Max64KB", "Max256KB", "Max1MB", "Max4MB"],
+        choices=["Auto", "Max64KB", "Max256KB", "Max1MB", "Max4MB", "Max8MB"],
         default="Auto",
         help="maximum uncompressed block size (default: Auto)",
     )

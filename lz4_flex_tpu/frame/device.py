@@ -28,8 +28,14 @@ from . import errors
 from .header import BlockInfo, BlockInfoKind, BlockMode, BlockSize, FrameInfo
 
 
-def compress_frame_device(data, frame_info: FrameInfo | None = None, *, mesh=None) -> bytes:
-    """Compress ``data`` into one LZ4 frame with mesh-parallel block encode."""
+def compress_frame_device(
+    data, frame_info: FrameInfo | None = None, *, mesh=None, verify: bool = True
+) -> bytes:
+    """Compress ``data`` into one LZ4 frame with mesh-parallel block encode.
+
+    ``verify`` (default on) roundtrip-checks every payload through the host
+    decoder before framing it — the production guard against device-encoder
+    fingerprint collisions (see parallel.pipeline.encode_blocks_sharded)."""
     from ..parallel.pipeline import encode_blocks_sharded
 
     data = bytes(data)
@@ -53,7 +59,7 @@ def compress_frame_device(data, frame_info: FrameInfo | None = None, *, mesh=Non
 
     if data:
         payloads, lens = encode_blocks_sharded(
-            data, block_size, linked=linked, mesh=mesh
+            data, block_size, linked=linked, mesh=mesh, verify=verify
         )
     else:
         payloads, lens = [], []
@@ -177,7 +183,13 @@ def decompress_frame_device(data, *, mesh=None) -> bytes:
                     )
                 )
             else:
-                out = decode_parts_fused(parts)
+                out = decode_parts_fused(
+                    parts,
+                    independent=(
+                        fi.legacy_frame or fi.block_mode == BlockMode.Independent
+                    ),
+                    max_block_size=max_block_size,
+                )
         except DecompressError as e:
             raise errors.DecompressionError(e) from e
 

@@ -29,7 +29,7 @@ class CodecConfig:
     block_mode: BlockMode = BlockMode.Independent
     block_checksums: bool = False
     content_checksum: bool = False
-    verify: bool = False  # roundtrip-verify device encodes
+    verify: bool = True  # roundtrip-verify device encodes (collision guard)
 
     def frame_info(self) -> FrameInfo:
         return FrameInfo(
@@ -57,7 +57,9 @@ class LZ4Codec:
     def compress(self, data) -> bytes:
         from ..frame.device import compress_frame_device
 
-        return compress_frame_device(data, self.config.frame_info(), mesh=self.mesh)
+        return compress_frame_device(
+            data, self.config.frame_info(), mesh=self.mesh, verify=self.config.verify
+        )
 
     def decompress(self, data) -> bytes:
         from ..frame.device import decompress_frame_device
@@ -98,7 +100,10 @@ class LZ4Codec:
 
     def decode_step(self, comp_bytes: jnp.ndarray, comp_lens):
         """Batched independent-block decode: (B, C) uint8 payload rows ->
-        ((B, S) uint8 outputs, (B,) lengths, (B, 3) error flags)."""
+        ((B, S) uint8 outputs, (B,) lengths, (B, 5) error flags).
+
+        Contract: C must exceed every comp_len by at least one zero byte
+        (truncation detection for blocks ending mid-LSIC run)."""
         from ..parallel.pipeline import _decode_batch
 
         width = comp_bytes.shape[1]

@@ -35,6 +35,8 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 
 
 def _build() -> str:
+    if os.environ.get("TLZ4_NO_NATIVE"):
+        raise RuntimeError("native engine disabled by TLZ4_NO_NATIVE")
     with open(_SRC, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
     so_path = os.path.join(_HERE, f"lz4_native_{tag}.so")

@@ -157,17 +157,29 @@ def expand_core(
 _expand_kernel = partial(jax.jit, static_argnames=("out_pad", "has_dict"))(expand_core)
 
 
-def decode_resident_core(u8, clen, *, out_pad, nseq_pad, parse_engine="doubling"):
+def decode_resident_core(
+    u8, clen, *, out_pad, nseq_pad, parse_engine="doubling", capacity=None
+):
     """Fully-on-device decode of one independent block: on-device parse +
     expansion fused in one traceable function. Input and output stay in HBM
     (the production shape: compressed bytes feed a device pipeline without a
-    host roundtrip). Returns (out[out_pad] uint8, total_out, error_flags)."""
+    host roundtrip). Returns (out[out_pad] uint8, total_out, error_flags).
+
+    error_flags is a (5,) bool vector: [literal_oob, truncated, offset_zero,
+    offset_oob, output_too_small] — the checked-decode error set of lz4_flex
+    src/block/mod.rs:82-98 plus the capacity check."""
     from .parse import parse_core, parse_walk_core
 
     parse = parse_walk_core if parse_engine == "walk" else parse_core
     ls, ll, mo, ml, oo, nseq, total, errs = parse(u8, clen, nseq_pad=nseq_pad)
     seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
     real = seq_i < nseq
+    # Checked-decode bounds the parse flags cannot see: a match reaching
+    # before the block start (no dict in the resident path) and an output
+    # exceeding the static capacity (silent clamp/truncation otherwise).
+    off_oob = jnp.any(real & (ml > 0) & (oo + ll - mo < 0))
+    out_oob = total > (out_pad if capacity is None else capacity)
+    errs = jnp.concatenate([errs, jnp.stack([off_oob, out_oob])])
     oo = jnp.where(real, oo, out_pad)
     mo = jnp.where(real, mo, 1)
     words = packing.bytes_to_words(u8)
@@ -187,7 +199,7 @@ def decode_resident_core(u8, clen, *, out_pad, nseq_pad, parse_engine="doubling"
 
 
 decode_resident = partial(
-    jax.jit, static_argnames=("out_pad", "nseq_pad", "parse_engine")
+    jax.jit, static_argnames=("out_pad", "nseq_pad", "parse_engine", "capacity")
 )(decode_resident_core)
 
 _EMPTY_WORDS = np.zeros(1, dtype=np.uint32)
@@ -256,7 +268,13 @@ def _validate(seq: SeqTable, dict_len: int, capacity: int) -> None:
         raise block_errors.OffsetOutOfBounds()
 
 
-def decode_parts_fused(parts, *, as_array: bool = False):
+def decode_parts_fused(
+    parts,
+    *,
+    as_array: bool = False,
+    independent: bool = False,
+    max_block_size: int | None = None,
+):
     """Decode a whole multi-block frame body in ONE device expansion.
 
     ``parts`` is the frame's block list in order: (payload, is_compressed)
@@ -270,6 +288,14 @@ def decode_parts_fused(parts, *, as_array: bool = False):
     dependency graph at once. Stored blocks become literal-only
     pseudo-sequences.
 
+    ``independent`` validates each block's matches against its own output
+    only (the reference decodes independent-mode blocks with no dictionary,
+    src/frame/decompress.rs:294-306 — a cross-block back-reference must
+    raise OffsetOutOfBounds, not silently resolve through earlier blocks).
+    ``max_block_size`` caps every block's decompressed size (the reference's
+    dst buffer is exactly one block, so oversized blocks cannot allocate
+    unboundedly).
+
     Returns the decompressed frame body as bytes (or a device array).
     """
     bufs = []
@@ -280,6 +306,11 @@ def decode_parts_fused(parts, *, as_array: bool = False):
         p = _as_u8(payload)
         if is_comp:
             seq = parse_sequences_host(p)
+            if independent:
+                # Block-local bounds: matches must stay inside this block.
+                _validate(seq, 0, max_block_size or seq.total_out)
+            elif max_block_size is not None and seq.total_out > max_block_size:
+                raise block_errors.OutputTooSmall(seq.total_out, max_block_size)
             tables.append(
                 (
                     seq.lit_start + cbase,

@@ -262,7 +262,10 @@ def parse_sequences_device(data, *, engine: str | None = None) -> SeqTable:
     n = comp.shape[0]
     if n == 0:
         raise block_errors.ExpectedAnotherByte()
-    pad = packing.size_bucket(n)
+    # +1: at least one zero pad byte must follow the payload, or a block
+    # ending mid-0xFF LSIC run reads the last in-bounds byte as a terminator
+    # instead of flagging truncation (packing.lsic_tables contract).
+    pad = packing.size_bucket(n + 1)
     nseq_pad = packing.size_bucket(max(4, pad // 3 + 2), minimum=256)
     u8 = jnp.asarray(packing.pad_to(comp, pad))
     kernel = _parse_walk_kernel if engine == "walk" else _parse_kernel

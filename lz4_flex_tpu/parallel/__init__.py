@@ -8,8 +8,10 @@ its formats expose become first-class mesh programs here:
   - linked-block encode is also data-parallel: each block's 64 KiB dictionary
     is the *input's* previous tail, known upfront, so the window carry-over
     chain (src/frame/compress.rs:327-356) only constrains decode;
-  - linked-block decode pipelines the 64 KiB window between successive block
-    shards with collective permutes over ICI.
+  - linked-block decode is resolved globally instead of pipelined: the
+    per-block sequence tables merge into one frame-wide table and a single
+    fused expansion handles every cross-block window reference as a plain
+    global output position (ops.decode.decode_parts_fused).
 
 Communication rides jax.sharding + shard_map collectives; there is no
 custom transport.

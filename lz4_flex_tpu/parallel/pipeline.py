@@ -82,7 +82,7 @@ def _encode_batch(rows, words, dlen, tlen, *, levels, comp_pad, nseq_pad):
     return out, total
 
 
-def _decode_batch(rows, clen, *, out_pad, nseq_pad):
+def _decode_batch(rows, clen, *, out_pad, nseq_pad, capacity=None):
     from ..ops.parse import default_parse_engine
 
     f = partial(
@@ -90,6 +90,7 @@ def _decode_batch(rows, clen, *, out_pad, nseq_pad):
         out_pad=out_pad,
         nseq_pad=nseq_pad,
         parse_engine=default_parse_engine(),
+        capacity=capacity,
     )
     return jax.vmap(f)(rows, clen)
 
@@ -99,11 +100,20 @@ def _decode_batch(rows, clen, *, out_pad, nseq_pad):
 # ---------------------------------------------------------------------------
 
 
-def encode_blocks_sharded(data, block_size: int, *, linked: bool = False, mesh=None):
+def encode_blocks_sharded(
+    data, block_size: int, *, linked: bool = False, mesh=None, verify: bool = True
+):
     """Compress ``data`` as frame blocks, data-parallel over the mesh.
 
     Returns (payloads: list[bytes], block_lens: list[int]) in frame order;
     the frame layer wraps them in BlockInfo words and checksums.
+
+    ``verify`` roundtrips every payload through the independent host decoder
+    and re-encodes mismatching blocks with the host encoder — the guard
+    against LCP fingerprint collisions (~2^-32/compare, ops/encode.py), which
+    can otherwise emit a corrupt block. Payloads are already on the host for
+    frame assembly, so the check costs one host decode pass, no extra
+    transfers.
     """
     from ..ops.encode import _CHUNK_C
 
@@ -118,7 +128,9 @@ def encode_blocks_sharded(data, block_size: int, *, linked: bool = False, mesh=N
         for pos in range(0, max(len(buf), 1), block_size):
             blk = buf[pos : pos + block_size]
             payloads.append(
-                compress_block_device(blk, ext_dict=window if linked else b"", verify=False)
+                compress_block_device(
+                    blk, ext_dict=window if linked else b"", verify=verify
+                )
             )
             lens.append(len(blk))
             if linked:
@@ -154,6 +166,21 @@ def encode_blocks_sharded(data, block_size: int, *, linked: bool = False, mesh=N
     total_h = np.asarray(total)
     payloads = [out_h[i, : total_h[i]].tobytes() for i in range(nblocks)]
     lens = [int(tlen[i] - dlen[i]) for i in range(nblocks)]
+    if verify:
+        from ..block import compress_with_dict, decompress_with_dict
+        from ..block.errors import DecompressError
+
+        buf = rows  # staged rows hold dict ++ data per block
+        for i in range(nblocks):
+            d, t = int(dlen[i]), int(tlen[i])
+            blk = buf[i, d:t].tobytes()
+            dic = buf[i, :d].tobytes()
+            try:
+                ok = decompress_with_dict(payloads[i], t - d, dic) == blk
+            except DecompressError:
+                ok = False
+            if not ok:  # pragma: no cover - fingerprint collision path
+                payloads[i] = compress_with_dict(blk, dic)
     return payloads, lens
 
 
@@ -235,7 +262,9 @@ def decode_blocks_sharded(payloads, block_size: int, *, mesh=None):
     ndev = mesh.devices.size
     nblocks = len(payloads)
     b_pad = max(ndev, -(-nblocks // ndev) * ndev)
-    width = packing.size_bucket(max(max((len(p) for p in payloads), default=4), 4))
+    # +1: the device parser needs >= 1 zero pad byte after each payload to
+    # detect blocks truncated mid-LSIC run (packing.lsic_tables contract).
+    width = packing.size_bucket(max(max((len(p) for p in payloads), default=4), 4) + 1)
     rows = np.zeros((b_pad, width), dtype=np.uint8)
     clen = np.zeros(b_pad, dtype=np.int32)
     for i, p in enumerate(payloads):
@@ -248,12 +277,13 @@ def decode_blocks_sharded(payloads, block_size: int, *, mesh=None):
     nseq_pad = packing.size_bucket(max(8, width // 3 + 2), minimum=256)
 
     spec = P(BLOCK_AXIS)
-    f = partial(_decode_batch, out_pad=out_pad, nseq_pad=nseq_pad)
+    f = partial(_decode_batch, out_pad=out_pad, nseq_pad=nseq_pad, capacity=block_size)
     sharded = jax.jit(
         shard_map(f, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec, spec))
     )
     out, total, errs = sharded(jnp.asarray(rows), jnp.asarray(clen))
     errs_h = np.asarray(errs[:nblocks])
+    total_h = np.asarray(total)
     if errs_h.any():
         from ..block import errors as block_errors
 
@@ -265,7 +295,10 @@ def decode_blocks_sharded(payloads, block_size: int, *, mesh=None):
             raise block_errors.LiteralOutOfBounds()
         if flags[2]:
             raise block_errors.OffsetZero()
+        if flags[3]:
+            raise block_errors.OffsetOutOfBounds()
+        if flags[4]:
+            raise block_errors.OutputTooSmall(int(total_h[bad]), block_size)
         raise block_errors.ExpectedAnotherByte()
     out_h = np.asarray(out)
-    total_h = np.asarray(total)
     return [out_h[i, : total_h[i]].tobytes() for i in range(nblocks)]

@@ -65,12 +65,16 @@ def test_decode_offset_out_of_bounds():
 
 
 def test_parse_errors_match_host():
+    # Error-TAXONOMY parity: the device parser must raise the same exception
+    # type as the host parser, not merely some DecompressError
+    # (src/block/mod.rs:82-98 error set).
     cases = [
         b"",  # empty input
         bytes([0x40]),  # literal run past end
         bytes([0x10, 0x41]),  # missing offset
         bytes([0x12, 0x41, 0x00, 0x00]),  # offset zero
         bytes([0xF0, 0xFF, 0xFF]),  # LSIC run truncated
+        bytes([0xF0] + [0xFF] * 4095),  # LSIC run to exactly a pad bucket
     ]
     for raw in cases:
         try:
@@ -80,8 +84,9 @@ def test_parse_errors_match_host():
             host_err = type(e)
         if host_err is None:
             continue
-        with pytest.raises(block_errors.DecompressError):
-            parse_sequences_device(raw)
+        for engine in ["walk", "doubling"]:
+            with pytest.raises(host_err):
+                parse_sequences_device(raw, engine=engine)
 
 
 def test_parse_walk_matches_doubling(corpus_34k):

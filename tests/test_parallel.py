@@ -98,6 +98,48 @@ def test_decode_parts_fused_linked():
     assert decode_parts_fused(parts) == data
 
 
+def test_decode_blocks_sharded_offset_oob():
+    # A match reaching before the block start must raise, not silently
+    # clamp into garbage (checked-decode parity, src/block/mod.rs:94).
+    from lz4_flex_tpu.block import errors as block_errors
+
+    bad = bytes([0x10, 0x41, 100, 0, 0x00])  # 'A', match offset 100, end token
+    with pytest.raises(block_errors.OffsetOutOfBounds):
+        decode_blocks_sharded([bad], BS)
+
+
+def test_decode_blocks_sharded_output_too_small():
+    from lz4_flex_tpu.block import errors as block_errors
+
+    data = _data(3 * BS)[: 2 * BS + 100]
+    payloads = [block.compress(data)]  # decodes to > BS bytes
+    with pytest.raises(block_errors.OutputTooSmall):
+        decode_blocks_sharded(payloads, BS)
+
+
+def test_frame_device_rejects_cross_block_ref_independent():
+    # An independent-mode frame whose second block back-references the first
+    # block's output must fail exactly as the reference does
+    # (src/frame/decompress.rs:294-306 decodes each block with no dict).
+    import struct
+
+    from lz4_flex_tpu.frame import errors as frame_errors
+    from lz4_flex_tpu.frame.header import BlockInfo, BlockInfoKind
+
+    fi = FrameInfo(block_size=BlockSize.Max64KB, block_mode=BlockMode.Independent)
+    blk1 = block.compress(b"ABCDEFGH")
+    # token: 1 literal + match len 4; literal 'Z'; offset 5 -> reaches into
+    # block 1's output; then a 5-literal terminator sequence.
+    blk2 = bytes([0x10, 0x5A, 5, 0, 0x50]) + b"WXYZQ"
+    out = bytearray(fi.write())
+    for payload in (blk1, blk2):
+        out += BlockInfo(BlockInfoKind.Compressed, len(payload)).write()
+        out += payload
+    out += BlockInfo(BlockInfoKind.EndMark).write()
+    with pytest.raises(frame_errors.DecompressionError):
+        decompress_frame_device(bytes(out))
+
+
 def test_roundtrip_step_sharded():
     data = _data()
     comp, lens, offsets, ok = roundtrip_step_sharded(data, BS)
