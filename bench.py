@@ -62,6 +62,7 @@ def build_corpus() -> bytes:
 
 
 def median_time(fn, iters=12, warmup=2):
+    """Host-side wall-clock timing (for host-engine stages only)."""
     for _ in range(warmup):
         fn()
     times = []
@@ -70,6 +71,41 @@ def median_time(fn, iters=12, warmup=2):
         fn()
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
+
+
+_FETCH_LATENCY = None
+
+
+def device_time(fn, sync, iters=10, warmup=2):
+    """Device timing per the PERF.md methodology.
+
+    `block_until_ready` under-reports on the axon remote platform, so: jit
+    dispatches are pipelined `iters` deep, completion is forced by fetching a
+    device-side 1-element slice of the LAST result to the host (`sync` maps
+    the result pytree to that tiny array), and the tunnel's constant fetch
+    latency — measured once on an already-ready array — is subtracted.
+    Never fetch big arrays here: the dev tunnel moves ~20 MB/s.
+    """
+    global _FETCH_LATENCY
+    import numpy as _np
+
+    r = None
+    for _ in range(max(warmup, 1)):
+        r = fn()
+    _np.asarray(sync(r))  # drain the pipeline before measuring
+    if _FETCH_LATENCY is None:
+        lats = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _np.asarray(sync(r))
+            lats.append(time.perf_counter() - t0)
+        _FETCH_LATENCY = float(np.median(lats))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn()
+    _np.asarray(sync(r))
+    total = time.perf_counter() - t0
+    return max((total - _FETCH_LATENCY) / iters, 1e-9)
 
 
 def main() -> None:
@@ -112,18 +148,16 @@ def main() -> None:
     ll = jnp.asarray(packing.pad_to(seq.lit_len, nsp))
     mo = jnp.asarray(packing.pad_to(seq.match_off, nsp, fill=1))
     dw = jnp.zeros(1, jnp.uint32)
-    f_expand = lambda: jax.block_until_ready(
-        _expand_kernel(
-            comp_words, dw, oo, ls, ll, mo, jnp.int32(0), jnp.int32(n),
-            out_pad=out_pad, has_dict=False,
-        )
+    f_expand = lambda: _expand_kernel(
+        comp_words, dw, oo, ls, ll, mo, jnp.int32(0), jnp.int32(n),
+        out_pad=out_pad, has_dict=False,
     )
     # End-to-end correctness through the public path (includes the transfers).
     from lz4_flex_tpu.ops.decode import decode_block_device
 
     ok = decode_block_device(comp, n) == data
 
-    t_exp = median_time(f_expand)
+    t_exp = device_time(f_expand, sync=lambda r: r[:1])
     t_parse = median_time(lambda: parse_sequences_host(comp_np))
     mibs = n / t_exp / (1024**2)
     print(
@@ -137,21 +171,17 @@ def main() -> None:
     try:
         from lz4_flex_tpu.ops.parse import default_parse_engine
 
-        f_res = lambda: jax.block_until_ready(
-            decode_resident(
-                comp_dev,
-                clen,
-                out_pad=out_pad,
-                nseq_pad=nseq_pad,
-                parse_engine=default_parse_engine(),
-            )
+        f_res = lambda: decode_resident(
+            comp_dev,
+            clen,
+            out_pad=out_pad,
+            nseq_pad=nseq_pad,
+            parse_engine=default_parse_engine(),
         )
         t0 = time.perf_counter()
-        f_res()
+        jax.block_until_ready(f_res())
         t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        f_res()
-        t_res = time.perf_counter() - t0
+        t_res = device_time(f_res, sync=lambda r: r[0][:1], iters=4, warmup=1)
         print(
             f"decode fused-resident (on-device parse): {t_res*1e3:.0f} ms "
             f"({n/t_res/2**20:.0f} MiB/s; first call {t_first:.1f}s)",
@@ -201,8 +231,8 @@ def main() -> None:
             )
             == data
         )
-        t_blk = median_time(
-            lambda: jax.block_until_ready(f_blk(rows_dev, lens_dev)), iters=8
+        t_blk = device_time(
+            lambda: f_blk(rows_dev, lens_dev), sync=lambda r: r[1][:1], iters=8
         )
         print(
             f"decode frame-batched (160x64KiB, on-device parse+expand): "
@@ -238,13 +268,13 @@ def main() -> None:
         )
         u8d = jnp.asarray(packing.pad_to(buf, pad))
         wd = jnp.asarray(packing.pad_to(buf, pad).view("<u4"))
-        f_enc = lambda: jax.block_until_ready(k(u8d, wd, jnp.int32(0), jnp.int32(buf.shape[0])))
-        cbytes, ctot = k(u8d, wd, jnp.int32(0), jnp.int32(buf.shape[0]))
+        f_enc = lambda: k(u8d, wd, jnp.int32(0), jnp.int32(buf.shape[0]))
+        cbytes, ctot = f_enc()
         enc_ok = (
             block.decompress(np.asarray(cbytes[: int(ctot)]).tobytes(), len(enc_data))
             == enc_data
         )
-        t_enc = median_time(f_enc, iters=8)
+        t_enc = device_time(f_enc, sync=lambda r: r[1], iters=6)
         nat = block.compress(enc_data)
         print(
             f"encode chunk-resident ({len(enc_data)} B): {t_enc*1e3:.2f} ms -> "

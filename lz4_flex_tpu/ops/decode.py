@@ -157,8 +157,33 @@ def expand_core(
 _expand_kernel = partial(jax.jit, static_argnames=("out_pad", "has_dict"))(expand_core)
 
 
+def _expand2_kernel(*args, **kw):
+    from .expand2 import expand2_core
+
+    return partial(jax.jit, static_argnames=("out_pad", "has_dict"))(expand2_core)(
+        *args, **kw
+    )
+
+
+def default_expand_engine() -> str:
+    """Expansion kernel selection: "v1" (per-byte doubling, expand_core) or
+    "v2" (fragment-structured cell kernels, ops/expand2.py — byte-exact but
+    its row-gather form is still being tuned on TPU; opt in via
+    TLZ4_EXPAND=v2)."""
+    import os
+
+    return os.environ.get("TLZ4_EXPAND", "v1")
+
+
 def decode_resident_core(
-    u8, clen, *, out_pad, nseq_pad, parse_engine="doubling", capacity=None
+    u8,
+    clen,
+    *,
+    out_pad,
+    nseq_pad,
+    parse_engine="doubling",
+    capacity=None,
+    expand_engine=None,
 ):
     """Fully-on-device decode of one independent block: on-device parse +
     expansion fused in one traceable function. Input and output stay in HBM
@@ -183,7 +208,13 @@ def decode_resident_core(
     oo = jnp.where(real, oo, out_pad)
     mo = jnp.where(real, mo, 1)
     words = packing.bytes_to_words(u8)
-    out = expand_core(
+    if expand_engine is None:
+        expand_engine = default_expand_engine()
+    if expand_engine == "v2":
+        from .expand2 import expand2_core as expand_fn
+    else:
+        expand_fn = expand_core
+    out = expand_fn(
         words,
         jnp.zeros(1, jnp.uint32),
         oo,
@@ -199,7 +230,14 @@ def decode_resident_core(
 
 
 decode_resident = partial(
-    jax.jit, static_argnames=("out_pad", "nseq_pad", "parse_engine", "capacity")
+    jax.jit,
+    static_argnames=(
+        "out_pad",
+        "nseq_pad",
+        "parse_engine",
+        "capacity",
+        "expand_engine",
+    ),
 )(decode_resident_core)
 
 _EMPTY_WORDS = np.zeros(1, dtype=np.uint32)
@@ -225,6 +263,7 @@ def expand_on_device(
     seq: SeqTable,
     ext_dict: np.ndarray,
     capacity: int,
+    engine: str | None = None,
 ) -> jnp.ndarray:
     """Run the expansion kernel for a host-parsed block; returns the device
     array of ``seq.total_out`` bytes (as a sliced view of the padded output)."""
@@ -236,7 +275,10 @@ def expand_on_device(
         dict_words = _pack_host(ext_dict, packing.size_bucket(ext_dict.shape[0]))
     else:
         dict_words = _EMPTY_WORDS
-    out = _expand_kernel(
+    if engine is None:
+        engine = default_expand_engine()
+    kernel = _expand2_kernel if engine == "v2" else _expand_kernel
+    out = kernel(
         _pack_host(comp, comp_pad),
         dict_words,
         packing.pad_to(seq.out_off, nseq_pad, fill=out_pad),

@@ -233,6 +233,159 @@ def parse_walk_core(u8: jnp.ndarray, n: jnp.ndarray, *, nseq_pad: int):
     return LS, LL, MO, ML, OO, i, opos, errs
 
 
+def parse_strided_core(u8: jnp.ndarray, n: jnp.ndarray, *, lanes: int):
+    """Strided speculative walk: the whole-buffer parse without O(n) rounds
+    or a single serial cursor.
+
+    The buffer is cut into ``lanes`` equal segments. Every lane walks the
+    speculative successor graph (`_speculative_tables`) in lockstep — the
+    measured fast shape for sequential chains on TPU (PERF.md: ~0.2 us per
+    step-lane vs ~1.5 us solo). Three passes:
+
+      A. from the raw segment boundaries (almost certainly mid-token) to the
+         first position past the next boundary — LZ4 token streams
+         self-synchronize, so each exit is with high probability the true
+         chain's entry into the next segment;
+      B. from the pass-A exits, re-walk and check the fixpoint
+         exit[i] == entry[i+1]. Lane 0 starts at 0, which is always a true
+         token start, so by induction the fixpoint proves every lane walked
+         the true chain (the reference walks this chain with one cursor,
+         src/block/decompress.rs:244-340). Retries with improved entries
+         handle slow synchronization; pathological streams that never
+         stabilize set the `unconverged` flag (caller falls back to the
+         doubling engine).
+      C. a record walk from the validated entries, writing each lane's
+         sequences into its own row of (lanes, L) tables at
+         globally-correct output offsets (bases from an exclusive scan of
+         per-lane totals). L = segment//3 + 2 bounds any lane's sequence
+         count (a sequence occupies >= 3 bytes), so no overflow is possible.
+
+    Returns per-lane tables (LS, LL, MO, ML, OO): (lanes, L) int32, plus
+    nseq_i (lanes,), total_out, nseq, error flags (3,), unconverged flag.
+    Padding entries carry the expansion-safe fills (OO = out-of-range is NOT
+    set here; callers mask with li < nseq_i).
+    """
+    pad = u8.shape[0]
+    (
+        nxt, lit_start, ll, offset, ml, out_inc,
+        is_final, f_lit_oob, f_truncated, f_offset_zero, f_terminated,
+    ) = _speculative_tables(u8, n)
+    S = lanes
+    seg = pad // S
+    L = seg // 3 + 2
+    flags = (
+        f_lit_oob.astype(jnp.int32)
+        | (f_truncated.astype(jnp.int32) << 1)
+        | (f_offset_zero.astype(jnp.int32) << 2)
+        | (f_terminated.astype(jnp.int32) << 3)
+        | (is_final.astype(jnp.int32) << 4)
+    )
+    bad_stop = (flags & 0b111) != 0
+    # Successor with error/final semantics folded in: errors and the final
+    # sequence stop the walk by jumping to n.
+    nxt_eff = jnp.where(bad_stop | is_final, jnp.int32(1) << 28, nxt)
+    starts = jnp.arange(S, dtype=jnp.int32) * seg
+    ends = starts + seg
+
+    def walk_count(e, end):
+        # follow the chain from e to the first position >= end; count
+        # sequences and accumulate output size and error flags on the way
+        def cond(c):
+            ip = c[0]
+            return (ip < end) & (ip < n)
+
+        def body(c):
+            ip, cnt, out, err = c
+            ipc = jnp.clip(ip, 0, pad - 1)
+            err = err | flags[ipc]
+            return nxt_eff[ipc], cnt + 1, out + out_inc[ipc], err
+
+        z = (n * 0).astype(jnp.int32)
+        ip, cnt, out, err = jax.lax.while_loop(cond, body, (e, z, z, z))
+        return ip, cnt, out, err
+
+    # Pass A: exits from the speculative boundary entries (counts discarded).
+    xA, _, _, _ = jax.vmap(walk_count)(starts, ends)
+
+    # Pass B (+ retries): entries from the previous pass's exits. A lane set
+    # is a fixpoint when re-walking from `entries` reproduces those same
+    # entries (entry i+1 == exit i; entries past the chain end compare as
+    # ">= n"). Lane 0 is pinned at 0 — always a true token start — so at a
+    # fixpoint induction proves every lane walked the true chain. Each retry
+    # validates at least one more lane prefix, so the loop always terminates
+    # on valid data; the cap guards adversarial never-synchronizing streams.
+    def entries_from(exits):
+        return jnp.concatenate([jnp.zeros(1, jnp.int32), exits[:-1]])
+
+    def is_fixpoint(e, exits):
+        e2 = entries_from(exits)
+        return jnp.all((e2 == e) | ((e2 >= n) & (e >= n)))
+
+    def r_cond(c):
+        e, exits, nseq_i, out_i, err_i, i = c
+        return (~is_fixpoint(e, exits)) & (i < 8)
+
+    def r_body(c):
+        e, exits, _, _, _, i = c
+        e2 = entries_from(exits)
+        exits2, cnt, out, err = jax.vmap(walk_count)(e2, ends)
+        return e2, exits2, cnt, out, err, i + 1
+
+    eB = entries_from(xA)
+    exits, nseq_i, out_i, err_i = jax.vmap(walk_count)(eB, ends)
+    eB, exits, nseq_i, out_i, err_i, _ = jax.lax.while_loop(
+        r_cond, r_body, (eB, exits, nseq_i, out_i, err_i, jnp.int32(0))
+    )
+    unconverged = ~is_fixpoint(eB, exits)
+    err_lit_oob = jnp.any((err_i & 1) == 1)
+    err_trunc_bit = jnp.any(((err_i >> 1) & 1) == 1)
+    err_offset_zero = jnp.any(((err_i >> 2) & 1) == 1)
+    terminated = jnp.any(((err_i >> 3) & 1) == 1)
+    nseq = jnp.sum(nseq_i)
+    total_out = jnp.sum(out_i)
+
+    # Per-lane bases.
+    cum_n = jnp.cumsum(nseq_i)
+    cum_o = jnp.cumsum(out_i)
+    base_n = cum_n - nseq_i
+    base_o = cum_o - out_i
+
+    # Pass C: record walk.
+    def walk_record(e, end, obase):
+        LS = jnp.zeros(L, jnp.int32) + (n * 0)
+        LL = jnp.zeros_like(LS)
+        MO = jnp.ones_like(LS)
+        ML = jnp.zeros_like(LS)
+        OO = jnp.zeros_like(LS)
+
+        def cond(c):
+            ip, i = c[0], c[2]
+            return (ip < end) & (ip < n) & (i < L)
+
+        def body(c):
+            ip, opos, i, LS, LL, MO, ML, OO = c
+            ipc = jnp.clip(ip, 0, pad - 1)
+            LS = LS.at[i].set(lit_start[ipc])
+            LL = LL.at[i].set(ll[ipc])
+            MO = MO.at[i].set(jnp.maximum(offset[ipc], 1))
+            ML = ML.at[i].set(ml[ipc])
+            OO = OO.at[i].set(opos)
+            return (
+                nxt_eff[ipc], opos + out_inc[ipc], i + 1, LS, LL, MO, ML, OO,
+            )
+
+        z = (n * 0).astype(jnp.int32)
+        c = jax.lax.while_loop(cond, body, (e, obase + z, z, LS, LL, MO, ML, OO))
+        return c[3], c[4], c[5], c[6], c[7]
+
+    LS, LL, MO, ML, OO = jax.vmap(walk_record)(eB, ends, base_o)
+
+    other = err_lit_oob | err_offset_zero
+    err_truncated = err_trunc_bit | (~terminated & ~other)
+    errs = jnp.stack([err_lit_oob, err_truncated, err_offset_zero])
+    return LS, LL, MO, ML, OO, nseq_i, nseq, total_out, errs, unconverged
+
+
 _parse_kernel = partial(jax.jit, static_argnames=("nseq_pad",))(parse_core)
 _parse_walk_kernel = partial(jax.jit, static_argnames=("nseq_pad",))(parse_walk_core)
 
