@@ -114,7 +114,12 @@ def main() -> None:
 
     from lz4_flex_tpu import block
     from lz4_flex_tpu.ops import packing
-    from lz4_flex_tpu.ops.decode import _expand_kernel, decode_resident
+    from lz4_flex_tpu.ops.decode import (
+        _expand2_kernel,
+        _expand_kernel,
+        decode_resident,
+        default_expand_engine,
+    )
     from lz4_flex_tpu.ops.sequences import parse_sequences_host
 
     dev = jax.devices()[0]
@@ -148,7 +153,8 @@ def main() -> None:
     ll = jnp.asarray(packing.pad_to(seq.lit_len, nsp))
     mo = jnp.asarray(packing.pad_to(seq.match_off, nsp, fill=1))
     dw = jnp.zeros(1, jnp.uint32)
-    f_expand = lambda: _expand_kernel(
+    _kern = _expand2_kernel if default_expand_engine() == "v2" else _expand_kernel
+    f_expand = lambda: _kern(
         comp_words, dw, oo, ls, ll, mo, jnp.int32(0), jnp.int32(n),
         out_pad=out_pad, has_dict=False,
     )

@@ -166,13 +166,13 @@ def _expand2_kernel(*args, **kw):
 
 
 def default_expand_engine() -> str:
-    """Expansion kernel selection: "v1" (per-byte doubling, expand_core) or
-    "v2" (fragment-structured cell kernels, ops/expand2.py — byte-exact but
-    its row-gather form is still being tuned on TPU; opt in via
-    TLZ4_EXPAND=v2)."""
+    """Expansion kernel selection: "v2" (fragment-structured cell kernels,
+    ops/expand2.py — row-gather pulls, ~1.5x v1 on TPU and the basis of the
+    Pallas pipeline) or "v1" (per-byte doubling, expand_core). Override via
+    TLZ4_EXPAND=v1."""
     import os
 
-    return os.environ.get("TLZ4_EXPAND", "v1")
+    return os.environ.get("TLZ4_EXPAND", "v2")
 
 
 def decode_resident_core(

@@ -50,9 +50,35 @@ _MAX_TAIL_ROUNDS = 40  # chains deeper than 2^40 bytes cannot exist
 
 def _row_gather(operand: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
     """Gather fixed-width contiguous rows at dynamic starts: (N,) starts ->
-    (N, width). Lowers to a slice gather (per-instance cost amortized over
-    the row, PERF.md row/slice-gather table)."""
-    return jax.vmap(lambda b: jax.lax.dynamic_slice(operand, (b,), (width,)))(starts)
+    (N, width).
+
+    Form matters enormously on XLA:TPU (measured, experiments/
+    rowgather_forms.py): vmap(dynamic_slice) lowers scalar (0.6-30 M rows/s),
+    whereas an ALIGNED whole-row 2-D gather runs ~92 M rows/s at any width.
+    So: reshape the operand to (R, width) rows, fetch the two aligned rows
+    covering the span (2 gathers), and extract the unaligned window with a
+    static-roll select ladder (elementwise; the take_along_axis form is 13x
+    slower). Net ~127 M rows/s at width 8 — 10-200x over the naive form.
+    """
+    n = operand.shape[0]
+    rem = (-n) % width
+    if rem:
+        operand = jnp.concatenate([operand, jnp.zeros(rem, operand.dtype)])
+    tbl = operand.reshape(-1, width)
+    R = tbl.shape[0]
+    q = jnp.clip(starts, 0, n - 1) // width
+    sh = jnp.clip(starts, 0, n - 1) % width
+    a = tbl[q]
+    b = tbl[jnp.clip(q + 1, 0, R - 1)]
+    rows2 = jnp.concatenate([a, b], axis=1)
+    # Static-slice select ladder: every rows2[:, t:t+width] window is a free
+    # view, and XLA fuses the whole ladder into one elementwise pass. (A
+    # log-depth barrel shifter built from concat-rolls measured 2x SLOWER —
+    # each conditional roll is a real cross-lane relayout.)
+    out = rows2[:, :width]
+    for t in range(1, width):
+        out = jnp.where((sh == t)[:, None], rows2[:, t : t + width], out)
+    return out
 
 
 def _cell_ranks(d: jnp.ndarray, active: jnp.ndarray):
@@ -146,9 +172,18 @@ def build_source_map(
     return s
 
 
-def resolve_cells(s: jnp.ndarray, *, out_pad, W=16, K=4, dense_rounds=3):
-    """Stage 2: collapse match chains. Dense cell-structured doubling rounds
-    followed by a compacted per-byte tail loop."""
+def resolve_cells(s: jnp.ndarray, *, out_pad, W=16, K=4, dense_rounds=3, tail_k=8):
+    """Stage 2: collapse match chains.
+
+    Doubling at cell granularity throughout: a couple of dense rounds over
+    every cell, then the surviving cells (a shrinking fraction — the measured
+    per-byte doubling decay is 34% -> 15% -> 4% -> 0.8% -> 0.04%) are
+    COMPACTED into a cell-index workset and chased there with the same
+    row-gather pull, writing whole cells back with a row-granular scatter
+    (both sides run at ~100 M rows/s vs ~86 M single updates/s — and each
+    instance moves a whole cell). A dense scalar loop remains as the
+    correctness fallback for workset overflow (pathological inputs).
+    """
     ncells = out_pad // W
     # `+ s[0]*0` threads the input's device-variance onto constant-built
     # arrays — shard_map's vma check rejects ops mixing invariant constants
@@ -156,47 +191,49 @@ def resolve_cells(s: jnp.ndarray, *, out_pad, W=16, K=4, dense_rounds=3):
     zvar = s[0] * 0
     lane = jnp.arange(W, dtype=jnp.int32) + zvar
     cellstart = jnp.arange(ncells, dtype=jnp.int32) * W + zvar
-    pos = cellstart[:, None] + lane[None, :]
 
-    def dense_cell_round(s):
-        sv = s.reshape(ncells, W)
+    def cell_round(sv, cs, sflat, k):
+        """One doubling hop for the cells starting at byte offsets ``cs``:
+        sv (n, W) current values, sflat the full map. Lanes whose fragment
+        rank exceeds ``k`` wait a round (still correct: hops strictly
+        decrease s, so progress is monotone)."""
         un = sv >= 0
-        d = sv - pos
+        d = sv - (cs[:, None] + lane[None, :])
         rank, bnd = _cell_ranks(d, un)
-        sg = jnp.concatenate([jnp.zeros(W, jnp.int32), s])
+        sg = jnp.concatenate([jnp.zeros(W, jnp.int32) + zvar, sflat])
         new = sv
-        for j in range(K):
+        for j in range(k):
             vj = _rank_value(d, bnd, rank, j)
-            base = jnp.clip(cellstart + vj + W, 0, out_pad)
+            base = jnp.clip(cs + vj + W, 0, out_pad)
             rows = _row_gather(sg, base, W)
             new = jnp.where(un & (rank == j), rows, new)
-        return new.reshape(-1)
+        return new
 
     for _ in range(dense_rounds):
-        s = dense_cell_round(s)
+        sv = cell_round(s.reshape(ncells, W), cellstart, s, K)
+        s = sv.reshape(-1)
 
-    # Per-byte tail: compact the surviving positions into a small workset and
-    # chase there; fall back to dense scalar rounds if the workset overflows
-    # (pathological inputs only).
-    un_pad = max(4096, out_pad // 16)
-    mask = s >= 0
-    cnt = jnp.sum(mask.astype(jnp.int32))
-    rankp = packing.tiled_cumsum(mask.astype(jnp.int32)) - 1
-    pout = jnp.arange(out_pad, dtype=jnp.int32) + zvar
-    uidx = (jnp.zeros(un_pad, dtype=jnp.int32) + zvar).at[
-        jnp.where(mask, rankp, un_pad)
-    ].set(pout, mode="drop")
+    # Compact surviving cells into a workset of cell indices.
+    ws = max(1024, ncells // 4)
+    active = jnp.any(s.reshape(ncells, W) >= 0, axis=1)
+    cnt = jnp.sum(active.astype(jnp.int32))
+    crank = packing.tiled_cumsum(active.astype(jnp.int32)) - 1
+    cells_i = jnp.arange(ncells, dtype=jnp.int32) + zvar
+    # Sentinel entries point at cell 0 (resolved in any valid stream —
+    # the first output byte is a literal); their write-back is a no-op.
+    cidx = (jnp.zeros(ws, dtype=jnp.int32) + zvar).at[
+        jnp.where(active, crank, ws)
+    ].set(cells_i, mode="drop")
 
     def cond(carry):
-        _, active, i = carry
-        return jnp.logical_and(active, i < _MAX_TAIL_ROUNDS)
+        _, act, i = carry
+        return jnp.logical_and(act, i < _MAX_TAIL_ROUNDS)
 
     def compact_body(carry):
         s, _, i = carry
-        su = s[uidx]
-        g = s[jnp.clip(su, 0, out_pad - 1)]
-        new = jnp.where(su >= 0, g, su)
-        s = s.at[uidx].set(new)
+        sv = s.reshape(ncells, W)[cidx]
+        new = cell_round(sv, cidx * W, s, tail_k)
+        s = s.reshape(ncells, W).at[cidx].set(new).reshape(-1)
         return s, jnp.any(new >= 0), i + 1
 
     def dense_body(carry):
@@ -208,7 +245,12 @@ def resolve_cells(s: jnp.ndarray, *, out_pad, W=16, K=4, dense_rounds=3):
     def run(body):
         return lambda s: jax.lax.while_loop(cond, body, (s, cnt > 0, jnp.int32(0)))[0]
 
-    return jax.lax.cond(cnt <= un_pad, run(compact_body), run(dense_body), s)
+    s = jax.lax.cond(cnt <= ws, run(compact_body), lambda x: x, s)
+    # Fallback finishes anything left (workset overflow, or lanes that kept
+    # waiting behind rank > tail_k in a pathological cell).
+    return jax.lax.cond(
+        jnp.any(s >= 0), run(dense_body), lambda x: x, s
+    )
 
 
 def materialize_cells(
@@ -233,13 +275,13 @@ def materialize_cells(
     def pull(j, d, bnd, rank, cs):
         vj = _rank_value(d, bnd, rank, j)
         b = cs + vj  # byte base of the source row (>= -(W-1))
-        wb = jnp.clip((b >> 2) + guard_words, 0, nwords - wslice)
+        wb = jnp.clip((b >> 2) + guard_words, 0, nwords - wslice - 1)
         sh = (b & 3).astype(jnp.uint32)
-        rows = _row_gather(words_g, wb, wslice)  # (n, wslice) uint32
+        rows = _row_gather(words_g, wb, wslice + 1)  # (n, wslice+1) uint32
         cols = []
         for l in range(W):
             lo = rows[:, l // 4]
-            hi = rows[:, l // 4 + 1] if l // 4 + 1 < wslice else rows[:, l // 4]
+            hi = rows[:, l // 4 + 1]
             t = sh + l
             w = jnp.where((t >> 2) == (l // 4), lo, hi)
             cols.append((w >> ((t & 3) * 8)) & 0xFF)
@@ -330,7 +372,8 @@ def expand2_core(
     parts = [jnp.zeros(guard_words, jnp.uint32) + zw, comp_words]
     if has_dict:
         parts.append(dict_words)
-    parts.append(jnp.zeros(guard_words + 2, jnp.uint32) + zw)
+    # Tail pad >= the pow2 gather width so clipping never shifts a valid read.
+    parts.append(jnp.zeros(guard_words + 8, jnp.uint32) + zw)
     words_g = jnp.concatenate(parts)
     return materialize_cells(
         s, words_g, out_pad=out_pad, guard_words=guard_words, W=mat_w, K=mat_k
