@@ -519,243 +519,286 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 }
 
 // ---------------------------------------------------------------------------
-// Pull-plan builder for the Pallas ring decoder (ops/ringdecode.py)
+// Ring-plan builder for the Pallas ring decoder (ops/ringdecode.py)
 // ---------------------------------------------------------------------------
 //
 // Splits the block's sequences (the same walk as tlz4_parse_sequences) into
-// per-(tile, output-row, slot) fragment records that the TPU kernel fires as
-// one-hot MXU row pulls. Output is processed in tiles of `tile_rows` 128-byte
-// rows; the kernel keeps the previous `window_rows` rows (>= the 64 KiB LZ4
-// window) resident in VMEM. Kernel semantics per record:
+// per-(tile, output-row, plane) fragment records that the TPU kernel fires as
+// one-hot MXU row pulls over a single VMEM table. Output is processed in
+// tiles of `tile_rows` 128-byte rows. The kernel's table per tile t is:
 //
-//   out lane l (lane_lo <= l < lane_lo+len) = table[ S + ((l + ph) mod P) ]
+//   rows [0, WR)            ring: output rows [t*TR - WR, t*TR)
+//   rows [WR, WR+TR)        the tile being decoded (updated in place)
+//   rows [WR+TR, WR+TR+2*LW) literal window: comp rows
+//                            [litblk[t]*LW, litblk[t]*LW + 2*LW)
 //
-// where the table is the tile's literal window (literal records) or the
-// ring of output rows [t*tile_rows - window_rows, (t+1)*tile_rows) (match
-// records). P < 128 implements self-overlapping (RLE) matches with no
-// record splitting (reference overlap handling:
+// Kernel semantics per record (table-local byte address S):
+//
+//   out lane l (lo <= l < lo+len) of the record's row = table[S + (l+ph) % P]
+//
+// P < 128 implements self-overlapping (RLE) matches with no record
+// splitting (reference overlap handling:
 // /root/reference/src/block/decompress.rs:286-315, fastcpy_unsafe.rs:64-90).
+// Literal records read the literal-window region; match records read the
+// ring/tile region.
 //
-// Packing:  src  = S | ph << 18 | depth << 25      (S < 2^18, ph < 128,
-//                                                    depth <= 62, 63 = empty)
-//           meta = lane_lo | (len-1) << 7 | (P-1) << 14   (meta 0 == empty)
+// Plane packing is depth-grouped: depth(record) = 0 for literals and for
+// matches whose sources all precede the tile, else 1 + max depth over
+// in-tile source bytes. Planes are ordered by depth, so the kernel fires
+// plane j = 0 .. nslots[t]-1 IN ORDER with in-place table updates and needs
+// no other schedule: every record's sources are strictly shallower, hence
+// already final when it fires. Plane count per tile = sum over d of the
+// max per-row record count at depth d.
 //
-// depth = the kernel round at which the record fires: 0 when every source
-// byte lies before the tile, else 1 + max depth over in-tile source bytes.
-// Literal records fire in the literal phase (before round 0). sched[t*sm+j]
-// is a bitmask of rounds where match slot j of tile t has work (bit 31 =
-// any round >= 31); litmask[t]
-// bit j marks used literal slots; rounds[t] = max match depth + 1.
+// Packing:  plane_src  = S | ph << 18                    (S < 2^18, ph < 128)
+//           plane_meta = lo | (len-1) << 7 | (P-1) << 14 | 1 << 21
+//                                                        (meta 0 == empty)
 //
-// Returns nseq, a parse error (TLZ4_ERR_*), or TLZ4_PLAN_OVERFLOW when the
-// static plan shape cannot hold the block (caller falls back to the XLA
-// expansion kernels).
+// The host-side walk performs tile-local partial chain resolution (the
+// `origin` map) so typical depths collapse to 0-2; deep fragmented pieces
+// fall back to raw ring records with the depth machinery.
+//
+// Returns nseq, a parse error (TLZ4_ERR_*), or a TLZ4_PLAN_* overflow code
+// when the static plan shape cannot hold the block (caller falls back to the
+// XLA expansion kernels).
+
+#include <vector>
+#include <algorithm>
 
 #define TLZ4_PLAN_OVERFLOW (-100)
-#define TLZ4_PLAN_OVF_LITSLOT (-101)
-#define TLZ4_PLAN_OVF_MATSLOT (-102)
+#define TLZ4_PLAN_OVF_SLOT (-102)
 #define TLZ4_PLAN_OVF_LITSPAN (-103)
 #define TLZ4_PLAN_OVF_DEPTH   (-104)
 
 namespace {
-constexpr int32_t PLAN_MAX_DEPTH = 62;  // 6-bit field; 63 = never fires
-constexpr int32_t PLAN_RESOLVE_RUNS = 6; // max resolved records per row-piece
+constexpr int32_t RING_MAX_DEPTH = 250;  // depth[] is uint8
 
-struct PlanCtx {
-    int32_t tile_rows, window_rows, sl, sm, lit_rows, ntiles;
-    int32_t* lit_src; int32_t* lit_meta;
-    int32_t* mat_src; int32_t* mat_meta;
-    int32_t* sched; int32_t* rounds; int32_t* litrow0; int32_t* litmask;
-    uint8_t* lit_cnt; uint8_t* mat_cnt;  // (ntiles*tile_rows) slot counters
-    uint8_t* depth;                      // (total_out) per-byte fire round
-    int32_t* origin;                     // (total_out) tile-local origin:
-                                         //   >= 0: comp position (literal)
-                                         //   <  0: -(g+1), g = output position
+struct RingRec {
+    int32_t S;           // table-local byte address
+    int16_t row;         // tile-local output row
+    uint8_t d, ph, P, lo, len;  // len is the true length (1..128)
 };
 
-inline int64_t plan_tile_start(const PlanCtx& c, int64_t p0) {
+struct RingCtx {
+    int32_t tile_rows, window_rows, smax, lit_w, ntiles;
+    int32_t resolve_min_depth, resolve_runs;
+    int64_t expected_out;
+    int32_t* plane_src; int32_t* plane_meta;
+    int32_t* nslots; int32_t* litblk;
+    uint8_t* depth;   // (expected_out) per-byte fire depth
+    int32_t* origin;  // (expected_out) tile-local origin:
+                      //   >= 0: comp position (literal byte)
+                      //   <  0: -(g+1), g = output position (ring byte)
+    std::vector<RingRec> recs;  // records of the current tile
+    int32_t cur_tile = 0;
+};
+
+inline int64_t ring_tile_start(const RingCtx& c, int64_t p0) {
     return (((p0 >> 7) / c.tile_rows) * c.tile_rows) << 7;
 }
 
-inline int plan_emit_lit(PlanCtx& c, int64_t p0, int32_t len, int64_t csrc) {
-    int64_t row = p0 >> 7;
-    int32_t t = (int32_t)(row / c.tile_rows);
-    int32_t r = (int32_t)(row % c.tile_rows);
-    int32_t lo = (int32_t)(p0 & 127);
-    if (c.litrow0[t] < 0) {
-        int32_t first = (int32_t)(csrc >> 7);
-        c.litrow0[t] = first > 0 ? first - 1 : 0;  // one row of slack for lo
+// Depth-grouped plane assignment for one finished tile.
+int ring_pack_tile(RingCtx& c, int32_t t) {
+    if (c.recs.empty()) { c.nslots[t] = 0; return 0; }
+    int32_t maxd = 0;
+    for (const auto& r : c.recs) if (r.d > maxd) maxd = r.d;
+    std::vector<int32_t> maxcnt((size_t)maxd + 1, 0);
+    std::vector<int32_t> cnt(((size_t)maxd + 1) * c.tile_rows, 0);
+    for (const auto& r : c.recs) {
+        int32_t& k = cnt[(size_t)r.d * c.tile_rows + r.row];
+        k++;
+        if (k > maxcnt[r.d]) maxcnt[r.d] = k;
     }
-    int64_t src_local = csrc - ((int64_t)c.litrow0[t] << 7);
-    // Normalize so lane l reads src_local + (l - lo): S = src_local - lo.
-    int64_t S = src_local - lo;
-    int32_t ph = 0;
-    if (S < 0) {           // only possible when csrc < 128 (stream head)
-        if (S <= -128) return TLZ4_PLAN_OVF_LITSPAN;
-        ph = (int32_t)(128 + S);  // byte(l) = (l + ph) mod 128 = l + S (l>=lo)
-        S = 0;
+    std::vector<int32_t> base((size_t)maxd + 2, 0);
+    for (int32_t d = 0; d <= maxd; d++) base[d + 1] = base[d] + maxcnt[d];
+    if (base[maxd + 1] > c.smax) return TLZ4_PLAN_OVF_SLOT;
+    c.nslots[t] = base[maxd + 1];
+    std::fill(cnt.begin(), cnt.end(), 0);
+    int64_t tbase = (int64_t)t * c.tile_rows * c.smax;
+    for (const auto& r : c.recs) {
+        int32_t& k = cnt[(size_t)r.d * c.tile_rows + r.row];
+        int32_t plane = base[r.d] + k;
+        k++;
+        int64_t at = tbase + (int64_t)r.row * c.smax + plane;
+        c.plane_src[at] = r.S | ((int32_t)r.ph << 18);
+        c.plane_meta[at] = r.lo | ((int32_t)(r.len - 1) << 7)
+                           | ((int32_t)(r.P - 1) << 14) | (1 << 21);
     }
-    if (S + 254 >= ((int64_t)c.lit_rows << 7)) return TLZ4_PLAN_OVF_LITSPAN;
-    uint8_t& cnt = c.lit_cnt[(int64_t)t * c.tile_rows + r];
-    if (cnt >= c.sl) return TLZ4_PLAN_OVF_LITSLOT;
-    int64_t base = ((int64_t)t * c.sl + cnt) * c.tile_rows + r;
-    c.lit_src[base] = (int32_t)(S | ((int64_t)ph << 18));
-    c.lit_meta[base] = lo | ((len - 1) << 7) | (127 << 14);
-    cnt++;
-    if ((int32_t)cnt > c.litmask[t]) c.litmask[t] = cnt;  // used-slot count
+    c.recs.clear();
     return 0;
 }
 
-// depth of a match record firing at output row piece starting p0 whose
-// distinct source bytes are [src_lo, src_hi) in output space.
-inline int32_t plan_depth(const PlanCtx& c, int64_t p0, int64_t src_lo,
-                          int64_t src_hi) {
-    int64_t ts = plan_tile_start(c, p0);
-    int64_t lo = src_lo < ts ? ts : src_lo;
+inline int ring_switch_tile(RingCtx& c, int64_t p0) {
+    int32_t t = (int32_t)((p0 >> 7) / c.tile_rows);
+    while (c.cur_tile < t) {
+        if (int rc = ring_pack_tile(c, c.cur_tile)) return rc;
+        c.cur_tile++;
+    }
+    return 0;
+}
+
+inline int ring_push(RingCtx& c, int64_t p0, int32_t len, int64_t S,
+                     int32_t P, int32_t ph, int32_t d) {
+    if (int rc = ring_switch_tile(c, p0)) return rc;
+    RingRec r;
+    r.S = (int32_t)S;
+    r.row = (int16_t)((p0 >> 7) % c.tile_rows);
+    r.d = (uint8_t)d;
+    r.ph = (uint8_t)ph;
+    r.P = (uint8_t)P;  // P <= 128 fits
+    r.lo = (uint8_t)(p0 & 127);
+    r.len = (uint8_t)len;
+    c.recs.push_back(r);
+    return 0;
+}
+
+// Literal record: lanes [lo, lo+len) of p0's row read comp bytes starting at
+// csrc, through the tile's literal window.
+inline int ring_emit_lit(RingCtx& c, int64_t p0, int32_t len, int64_t csrc) {
+    if (int rc = ring_switch_tile(c, p0)) return rc;
+    int32_t t = c.cur_tile;
+    int32_t lo = (int32_t)(p0 & 127);
+    if (c.litblk[t] < 0) {
+        int32_t first = (int32_t)(csrc >> 7);
+        c.litblk[t] = (first > 0 ? first - 1 : 0) / c.lit_w;
+    }
+    int64_t wbase = ((int64_t)c.litblk[t] * c.lit_w) << 7;
+    int64_t S = (csrc - wbase) - lo;
+    int32_t ph = 0;
+    if (S < 0) {  // only near the window/stream head with a high lane_lo
+        if (S <= -128) return TLZ4_PLAN_OVF_LITSPAN;
+        ph = (int32_t)(128 + S);  // byte(l) = (l+ph) mod 128 = l + S  (l >= lo)
+        S = 0;
+    }
+    // one row of slack so the kernel's second row pull stays in the window
+    if (S + 255 >= ((int64_t)2 * c.lit_w) << 7) return TLZ4_PLAN_OVF_LITSPAN;
+    S += ((int64_t)(c.window_rows + c.tile_rows)) << 7;  // lit region base
+    return ring_push(c, p0, len, S, 128, ph, 0);
+}
+
+// Match record: dst lanes [lo, lo+len) of p0's row read ring byte
+// S_out + ((l+ph) mod P), S_out in OUTPUT space (converted to table-local
+// here). Distinct sources [src_lo, src_hi) drive the depth.
+inline int ring_emit_match(RingCtx& c, int64_t p0, int32_t len, int64_t S_out,
+                           int32_t P, int32_t ph, int64_t src_lo,
+                           int64_t src_hi) {
+    int64_t ts = ring_tile_start(c, p0);
+    int64_t ring_base = ts - (((int64_t)c.window_rows) << 7);
+    int64_t S_local = S_out - ring_base;
+    if (S_local < 0 ||
+        S_local >= (((int64_t)c.window_rows + c.tile_rows) << 7))
+        return TLZ4_PLAN_OVERFLOW;
+    int64_t lo_s = src_lo < ts ? ts : src_lo;
     int32_t d = 0;
-    for (int64_t s = lo; s < src_hi; s++) {
+    for (int64_t s = lo_s; s < src_hi; s++) {
         int32_t v = (int32_t)c.depth[s] + 1;
         if (v > d) d = v;
     }
-    return d;
-}
-
-// Emit one match record: dst lanes [lo, lo+len) of the row containing p0
-// read ring byte S + ((l + ph) mod P), S in OUTPUT space here (converted to
-// ring-local inside). Distinct sources [src_lo, src_hi) drive the depth.
-inline int plan_emit_match(PlanCtx& c, int64_t p0, int32_t len, int64_t S,
-                           int32_t P, int32_t ph, int64_t src_lo,
-                           int64_t src_hi) {
-    int64_t row = p0 >> 7;
-    int32_t t = (int32_t)(row / c.tile_rows);
-    int32_t r = (int32_t)(row % c.tile_rows);
-    int64_t ring_base = ((int64_t)t * c.tile_rows - c.window_rows) << 7;
-    int64_t S_local = S - ring_base;
-    if (S_local < 0 || S_local >= ((int64_t)(c.window_rows + c.tile_rows) << 7))
-        return TLZ4_PLAN_OVERFLOW;
-    int32_t d = plan_depth(c, p0, src_lo, src_hi);
-    if (d > PLAN_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
-    uint8_t& cnt = c.mat_cnt[(int64_t)t * c.tile_rows + r];
-    if (cnt >= c.sm) return TLZ4_PLAN_OVF_MATSLOT;
-    int64_t base = ((int64_t)t * c.sm + cnt) * c.tile_rows + r;
-    c.mat_src[base] =
-        (int32_t)(S_local | ((int64_t)ph << 18) | ((int64_t)d << 25));
-    c.mat_meta[base] = (int32_t)(p0 & 127) | ((len - 1) << 7) | ((P - 1) << 14);
-    c.sched[(int64_t)t * c.sm + cnt] |= (1 << (d < 31 ? d : 31));
-    if (d + 1 > c.rounds[t]) c.rounds[t] = d + 1;
-    cnt++;
+    if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
     for (int32_t k = 0; k < len; k++) c.depth[p0 + k] = (uint8_t)d;
-    return 0;
+    return ring_push(c, p0, len, S_local, P, ph, d);
 }
 
 // Plain (non-periodic) piece: lane l reads s0 + (l - lo). The row-normalized
 // base s0 - lo can undershoot the ring by < 128 bytes (offset near 64 KiB
 // plus a high lane_lo); compensate with the phase field.
-inline int plan_emit_plain(PlanCtx& c, int64_t p0, int32_t span, int64_t s0) {
+inline int ring_emit_plain(RingCtx& c, int64_t p0, int32_t span, int64_t s0) {
     int32_t lo = (int32_t)(p0 & 127);
     int64_t S = s0 - lo;
     int32_t ph = 0;
-    int64_t ring_base = plan_tile_start(c, p0) - ((int64_t)c.window_rows << 7);
+    int64_t ring_base =
+        ring_tile_start(c, p0) - (((int64_t)c.window_rows) << 7);
     if (S < ring_base) {
         int64_t delta = ring_base - S;  // < 128 for any valid offset
         if (delta >= 128) return TLZ4_PLAN_OVERFLOW;
-        ph = (int32_t)(128 - delta);    // byte(l) = (l+ph) mod 128 = l - delta
-        S = ring_base;                  // ... for real lanes (l >= delta)
+        ph = (int32_t)(128 - delta);  // byte(l) = (l+ph) mod 128 = l - delta
+        S = ring_base;                // ... for real lanes (l >= delta)
     }
-    return plan_emit_match(c, p0, span, S, 128, ph, s0, s0 + span);
+    return ring_emit_match(c, p0, span, S, 128, ph, s0, s0 + span);
 }
+
 // Emit one match row-piece [p0, p0+span) using the tile-local origin map:
-// if the piece's origins form <= PLAN_RESOLVE_RUNS affine runs whose ring
-// parts stay inside the 64 KiB ring, emit depth-0 resolved records (host-side
-// partial chain resolution — kills most kernel rounds); otherwise fall back
-// to a raw ring record with the depth machinery (periodic for off<=128
-// self-overlap, plain otherwise).
-inline int plan_emit_piece(PlanCtx& c, int64_t p0, int32_t span, int64_t m0,
+// shallow pieces (raw depth < resolve_min_depth) emit one cheap raw record;
+// deep pieces whose origins form <= resolve_runs affine runs staying inside
+// the ring/window emit depth-0/1 resolved records (host-side partial chain
+// resolution); fragmented deep pieces fall back to raw with the depth
+// machinery (periodic for off<=128 self-overlap).
+inline int ring_emit_piece(RingCtx& c, int64_t p0, int32_t span, int64_t m0,
                            int64_t off) {
-    int64_t ring_base = plan_tile_start(c, p0) - ((int64_t)c.window_rows << 7);
+    int64_t ring_base =
+        ring_tile_start(c, p0) - (((int64_t)c.window_rows) << 7);
     int64_t rel = p0 - m0;
-    // Depth the RAW form of this piece would fire at. Resolution exists to
-    // kill depth, not records: shallow pieces (most of them) emit one cheap
-    // raw record; only deep pieces pay the fragmentation of resolved
-    // emission. This keeps both the round count and the slot pressure low.
     int32_t d_raw;
     if (off <= 128 && rel + span > off) {
         int64_t A = m0 - off;
         if (A < ring_base) A += ((ring_base - A + off - 1) / off) * off;
-        d_raw = plan_depth(c, p0, A, A + off);
-    } else if (off > 128 && rel + span > off) {
-        int64_t relm = rel % off;
-        int64_t first = off - relm;
-        if (first > span) first = span;
-        int64_t s0 = m0 - off + relm;
-        if (s0 < ring_base) s0 += ((ring_base - s0 + off - 1) / off) * off;
-        d_raw = plan_depth(c, p0, s0, s0 + first);
-        if (first < span) {
-            int64_t s2 = m0 - off;
-            int64_t rb2 = plan_tile_start(c, p0 + first)
-                          - ((int64_t)c.window_rows << 7);
-            if (s2 < rb2) s2 += ((rb2 - s2 + off - 1) / off) * off;
-            int32_t d2 = plan_depth(c, p0 + first, s2, s2 + span - first);
-            if (d2 > d_raw) d_raw = d2;
+        int64_t ts = ring_tile_start(c, p0);
+        int64_t lo_s = A < ts ? ts : A;
+        d_raw = 0;
+        for (int64_t s = lo_s; s < A + off; s++) {
+            int32_t v = (int32_t)c.depth[s] + 1;
+            if (v > d_raw) d_raw = v;
         }
     } else {
-        d_raw = plan_depth(c, p0, p0 - off, p0 - off + span);
-    }
-    if (d_raw <= 2) goto raw;
-    {
-    // split origins into affine runs
-    int32_t starts[PLAN_RESOLVE_RUNS + 1];
-    int32_t nruns = 0;
-    bool usable = true;
-    for (int32_t k = 0; k < span && nruns <= PLAN_RESOLVE_RUNS; k++) {
-        int32_t o = c.origin[p0 + k];
-        bool extends;
-        if (k == 0) {
-            extends = false;
-        } else {
-            int32_t prev = c.origin[p0 + k - 1];
-            // literal runs step +1 in comp space; ring runs step +1 in output
-            // space, i.e. -(g+1) steps DOWN by 1.
-            extends = (prev >= 0) ? (o == prev + 1) : (o == prev - 1);
-        }
-        if (!extends) {
-            if (nruns <= PLAN_RESOLVE_RUNS) starts[nruns] = k;
-            nruns++;
-            if (o < 0 && (int64_t)(-(int64_t)o - 1) < ring_base)
-                usable = false;  // telescoped origin scrolled out of the ring
+        // non-wrapping (span <= off by piece construction when off > 128):
+        // distinct sources are [p0-off, p0-off+span)
+        int64_t s0 = p0 - off;
+        int64_t ts = ring_tile_start(c, p0);
+        int64_t lo_s = s0 < ts ? ts : s0;
+        d_raw = 0;
+        for (int64_t s = lo_s; s < s0 + span; s++) {
+            int32_t v = (int32_t)c.depth[s] + 1;
+            if (v > d_raw) d_raw = v;
         }
     }
-    if (nruns <= PLAN_RESOLVE_RUNS && usable) {
-        int32_t lit_runs = 0;
-        for (int32_t i = 0; i < nruns; i++)
-            if (c.origin[p0 + starts[i]] >= 0) lit_runs++;
-        int64_t row = p0 >> 7;
-        int32_t row_lit = (int32_t)c.lit_cnt[
-            (row / c.tile_rows) * (int64_t)c.tile_rows + (row % c.tile_rows)];
-        if (row_lit + lit_runs > c.sl) goto raw;
-        for (int32_t i = 0; i < nruns; i++) {
-            int32_t k0 = starts[i];
-            int32_t k1 = (i + 1 < nruns) ? starts[i + 1] : span;
-            int32_t o = c.origin[p0 + k0];
-            if (o >= 0) {
-                if (int rc_ = plan_emit_lit(c, p0 + k0, k1 - k0, o)) return rc_;
+    if (d_raw >= c.resolve_min_depth) {
+        // split origins into affine runs
+        int32_t starts[64];
+        int32_t nruns = 0;
+        bool usable = true;
+        int32_t RT = c.resolve_runs < 64 ? c.resolve_runs : 64;
+        for (int32_t k = 0; k < span && nruns <= RT; k++) {
+            int32_t o = c.origin[p0 + k];
+            bool extends;
+            if (k == 0) {
+                extends = false;
             } else {
-                if (int rc_ = plan_emit_plain(c, p0 + k0, k1 - k0,
-                                              (int64_t)(-(int64_t)o - 1)))
-                    return rc_;
+                int32_t prev = c.origin[p0 + k - 1];
+                // literal runs step +1 in comp space; ring runs step +1 in
+                // output space, i.e. -(g+1) steps DOWN by 1.
+                extends = (prev >= 0) ? (o == prev + 1) : (o == prev - 1);
+            }
+            if (!extends) {
+                if (nruns < 64) starts[nruns] = k;
+                nruns++;
+                if (o < 0 && (int64_t)(-(int64_t)o - 1) < ring_base)
+                    usable = false;  // telescoped origin left the ring
             }
         }
-        return 0;
+        if (nruns <= RT && usable) {
+            for (int32_t i = 0; i < nruns; i++) {
+                int32_t k0 = starts[i];
+                int32_t k1 = (i + 1 < nruns) ? starts[i + 1] : span;
+                int32_t o = c.origin[p0 + k0];
+                int rc_;
+                if (o >= 0)
+                    rc_ = ring_emit_lit(c, p0 + k0, k1 - k0, o);
+                else
+                    rc_ = ring_emit_plain(c, p0 + k0, k1 - k0,
+                                          (int64_t)(-(int64_t)o - 1));
+                if (rc_) return rc_;
+            }
+            return 0;
+        }
     }
-    }
-raw:;
+    // raw forms
     if (off <= 128 && rel + span > off) {
         // periodic raw record anchored at a period-aligned window
         int32_t lo = (int32_t)(p0 & 127);
         int64_t A = m0 - off;
         if (A < ring_base) A += ((ring_base - A + off - 1) / off) * off;
         int32_t ph = (int32_t)(((rel - lo) % off + off) % off);
-        return plan_emit_match(c, p0, span, A, (int32_t)off, ph, A, A + off);
+        return ring_emit_match(c, p0, span, A, (int32_t)off, ph, A, A + off);
     }
     if (rel + span > off && off > 128) {
         // self-overlap wrap: <= 2 plain records on period-aligned copies
@@ -764,36 +807,35 @@ raw:;
         if (first > span) first = span;
         int64_t s0 = m0 - off + relm;
         if (s0 < ring_base) s0 += ((ring_base - s0 + off - 1) / off) * off;
-        if (int rc_ = plan_emit_plain(c, p0, (int32_t)first, s0)) return rc_;
+        if (int rc_ = ring_emit_plain(c, p0, (int32_t)first, s0)) return rc_;
         if (first < span) {
             int64_t p2 = p0 + first;
             int64_t s2 = m0 - off;
-            int64_t rb2 = plan_tile_start(c, p2) - ((int64_t)c.window_rows << 7);
+            int64_t rb2 =
+                ring_tile_start(c, p2) - (((int64_t)c.window_rows) << 7);
             if (s2 < rb2) s2 += ((rb2 - s2 + off - 1) / off) * off;
-            if (int rc_ = plan_emit_plain(c, p2, (int32_t)(span - first), s2))
+            if (int rc_ = ring_emit_plain(c, p2, (int32_t)(span - first), s2))
                 return rc_;
         }
         return 0;
     }
-    return plan_emit_plain(c, p0, span, p0 - off);
+    return ring_emit_plain(c, p0, span, p0 - off);
 }
 }  // namespace
 
-TLZ4_API int64_t tlz4_build_pull_plan(
-    const uint8_t* input, size_t input_len,
-    int32_t tile_rows, int32_t window_rows,
-    int32_t sl, int32_t sm, int32_t lit_rows, int32_t ntiles,
-    int32_t* lit_src, int32_t* lit_meta,
-    int32_t* mat_src, int32_t* mat_meta,
-    int32_t* sched, int32_t* rounds, int32_t* litrow0, int32_t* litmask,
-    uint8_t* lit_cnt, uint8_t* mat_cnt, uint8_t* depth, int32_t* origin,
-    int64_t* total_out)
+TLZ4_API int64_t tlz4_build_ring_plan(
+    const uint8_t* input, size_t input_len, int64_t expected_out,
+    int32_t tile_rows, int32_t window_rows, int32_t smax, int32_t lit_w,
+    int32_t ntiles, int32_t resolve_min_depth, int32_t resolve_runs,
+    int32_t* plane_src, int32_t* plane_meta,
+    int32_t* nslots, int32_t* litblk,
+    uint8_t* depth, int32_t* origin, int64_t* total_out)
 {
-    PlanCtx c{tile_rows, window_rows, sl, sm, lit_rows, ntiles,
-              lit_src, lit_meta, mat_src, mat_meta,
-              sched, rounds, litrow0, litmask, lit_cnt, mat_cnt, depth,
-              origin};
-    for (int32_t t = 0; t < ntiles; t++) litrow0[t] = -1;
+    RingCtx c{tile_rows, window_rows, smax, lit_w, ntiles,
+              resolve_min_depth, resolve_runs, expected_out,
+              plane_src, plane_meta, nslots, litblk, depth, origin,
+              {}, 0};
+    for (int32_t t = 0; t < ntiles; t++) litblk[t] = -1;
 
     size_t ip = 0;
     int64_t nseq = 0;
@@ -811,6 +853,10 @@ TLZ4_API int64_t tlz4_build_pull_plan(
             }
         }
         if (ll > input_len - ip) return TLZ4_ERR_LITERAL_OOB;
+        if (opos + (int64_t)ll > c.expected_out) {
+            *total_out = opos + (int64_t)ll;
+            return TLZ4_ERR_OUTPUT_TOO_SMALL;
+        }
         {   // literal fragment [opos, opos+ll) from comp [ip, ip+ll)
             int64_t p = opos, csrc = (int64_t)ip, rem = (int64_t)ll;
             for (int64_t k = 0; k < rem; k++)
@@ -818,7 +864,7 @@ TLZ4_API int64_t tlz4_build_pull_plan(
             while (rem > 0) {
                 int32_t span = (int32_t)(128 - (p & 127));
                 if (span > rem) span = (int32_t)rem;
-                if (int rc_ = plan_emit_lit(c, p, span, csrc)) return rc_;
+                if (int rc_ = ring_emit_lit(c, p, span, csrc)) return rc_;
                 p += span; csrc += span; rem -= span;
             }
         }
@@ -842,6 +888,10 @@ TLZ4_API int64_t tlz4_build_pull_plan(
         const int64_t m0 = opos;
         const int64_t off = (int64_t)offset;
         if (m0 - off < 0) return TLZ4_ERR_OFFSET_OOB;
+        if (opos + (int64_t)ml > c.expected_out) {
+            *total_out = opos + (int64_t)ml;
+            return TLZ4_ERR_OUTPUT_TOO_SMALL;
+        }
         {
             // Tile-local origin chase: byte p+k copies from s = p+k-off;
             // in-tile sources inherit the source byte's origin (host-side
@@ -858,7 +908,7 @@ TLZ4_API int64_t tlz4_build_pull_plan(
             while (rem > 0) {
                 int32_t span = (int32_t)(128 - (p & 127));
                 if (span > rem) span = (int32_t)rem;
-                if (int rc_ = plan_emit_piece(c, p, span, m0, off)) return rc_;
+                if (int rc_ = ring_emit_piece(c, p, span, m0, off)) return rc_;
                 p += span; rem -= span;
             }
         }
@@ -866,7 +916,10 @@ TLZ4_API int64_t tlz4_build_pull_plan(
         opos += (int64_t)ml;
     }
     *total_out = opos;
+    for (int32_t t = c.cur_tile; t < ntiles; t++) {
+        if (int rc_ = ring_pack_tile(c, t)) return rc_;
+    }
     for (int32_t t = 0; t < ntiles; t++)
-        if (c.litrow0[t] < 0) c.litrow0[t] = 0;
+        if (c.litblk[t] < 0) c.litblk[t] = 0;
     return nseq;
 }
