@@ -167,6 +167,7 @@ def decompress_frame_device(data, *, mesh=None) -> bytes:
         # ---- device decode ------------------------------------------------
         from ..block.errors import DecompressError
 
+        independent = fi.legacy_frame or fi.block_mode == BlockMode.Independent
         try:
             if (
                 mesh is not None
@@ -183,13 +184,23 @@ def decompress_frame_device(data, *, mesh=None) -> bytes:
                     )
                 )
             else:
-                out = decode_parts_fused(
+                # Primary engine: the Pallas ring kernel (one plan covers the
+                # whole frame body, linked or independent). Frames that do
+                # not fit the static plan shape fall back to the XLA fused
+                # global expansion.
+                from ..ops.ringdecode import decode_parts_ring
+
+                out = decode_parts_ring(
                     parts,
-                    independent=(
-                        fi.legacy_frame or fi.block_mode == BlockMode.Independent
-                    ),
+                    independent=independent,
                     max_block_size=max_block_size,
                 )
+                if out is None:
+                    out = decode_parts_fused(
+                        parts,
+                        independent=independent,
+                        max_block_size=max_block_size,
+                    )
         except DecompressError as e:
             raise errors.DecompressionError(e) from e
 

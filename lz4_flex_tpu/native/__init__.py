@@ -45,7 +45,8 @@ def _build() -> str:
         subprocess.run(
             [
                 "g++", "-O3", "-march=native", "-funroll-loops", "-shared",
-                "-fPIC", "-fvisibility=hidden", "-std=c++17", _SRC, "-o", tmp,
+                "-fPIC", "-fvisibility=hidden", "-std=c++17", "-pthread",
+                _SRC, "-o", tmp,
             ],
             check=True,
             capture_output=True,

@@ -522,10 +522,12 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 // Ring-plan builder for the Pallas ring decoder (ops/ringdecode.py)
 // ---------------------------------------------------------------------------
 //
-// Splits the block's sequences (the same walk as tlz4_parse_sequences) into
-// per-(tile, output-row, plane) fragment records that the TPU kernel fires as
-// one-hot MXU row pulls over a single VMEM table. Output is processed in
-// tiles of `tile_rows` 128-byte rows. The kernel's table per tile t is:
+// Splits a block's — or a whole multi-block frame body's — sequences (the
+// same walk as tlz4_parse_sequences, reference token loop
+// /root/reference/src/block/decompress.rs:201-444) into per-(tile,
+// output-row, plane) fragment records that the TPU kernel fires as one-hot
+// MXU row pulls over a single VMEM table. Output is processed in tiles of
+// `tile_rows` 128-byte rows. The kernel's table per tile t is:
 //
 //   rows [0, WR)            ring: output rows [t*TR - WR, t*TR)
 //   rows [WR, WR+TR)        the tile being decoded (updated in place)
@@ -554,16 +556,29 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 //           plane_meta = lo | (len-1) << 7 | (P-1) << 14 | 1 << 21
 //                                                        (meta 0 == empty)
 //
-// The host-side walk performs tile-local partial chain resolution (the
-// `origin` map) so typical depths collapse to 0-2; deep fragmented pieces
-// fall back to raw ring records with the depth machinery.
+// The builder runs in two passes. Pass 1 (serial) walks every block's token
+// stream into a global sequence table, validating offsets against the block
+// mode: linked blocks may reach any earlier frame output (the 64 KiB
+// MAX_DISTANCE keeps them inside the kernel ring by construction),
+// independent blocks only their own output
+// (/root/reference/src/frame/decompress.rs:282-306); stored blocks become
+// literal-only pseudo-sequences. Pass 2 builds tiles CONCURRENTLY: the
+// per-byte origin chase and depth recurrence read only sources at/after the
+// tile start (earlier sources resolve to ring records), so tiles share
+// nothing and a small thread pool scales the build with host cores.
+//
+// The host-side origin map performs tile-local partial chain resolution so
+// typical depths collapse to 0-2; deep fragmented pieces fall back to raw
+// ring records with the depth machinery.
 //
 // Returns nseq, a parse error (TLZ4_ERR_*), or a TLZ4_PLAN_* overflow code
-// when the static plan shape cannot hold the block (caller falls back to the
-// XLA expansion kernels).
+// when the static plan shape cannot hold the input (caller falls back to
+// the XLA expansion kernels).
 
 #include <vector>
 #include <algorithm>
+#include <atomic>
+#include <thread>
 
 #define TLZ4_PLAN_OVERFLOW (-100)
 #define TLZ4_PLAN_OVF_SLOT (-102)
@@ -579,7 +594,13 @@ struct RingRec {
     uint8_t d, ph, P, lo, len;  // len is the true length (1..128)
 };
 
-struct RingCtx {
+struct RingSeq {
+    int64_t lit_start;   // literal run start in the (concatenated) comp buf
+    int64_t out_off;     // global output position of the literal run
+    int32_t lit_len, match_len, match_off;
+};
+
+struct RingShared {
     int32_t tile_rows, window_rows, smax, lit_w, ntiles;
     int32_t resolve_min_depth, resolve_runs;
     int64_t expected_out;
@@ -589,80 +610,70 @@ struct RingCtx {
     int32_t* origin;  // (expected_out) tile-local origin:
                       //   >= 0: comp position (literal byte)
                       //   <  0: -(g+1), g = output position (ring byte)
-    std::vector<RingRec> recs;  // records of the current tile
-    int32_t cur_tile = 0;
 };
 
-inline int64_t ring_tile_start(const RingCtx& c, int64_t p0) {
-    return (((p0 >> 7) / c.tile_rows) * c.tile_rows) << 7;
-}
+// Builder state for exactly one tile: output range [ts, te).
+struct RingTile {
+    const RingShared* g;
+    int32_t t;
+    int64_t ts, te, ring_base;  // ring_base = ts - WR*128
+    std::vector<RingRec> recs;
+};
 
 // Depth-grouped plane assignment for one finished tile.
-int ring_pack_tile(RingCtx& c, int32_t t) {
-    if (c.recs.empty()) { c.nslots[t] = 0; return 0; }
+int ring_pack_tile(RingTile& c) {
+    const RingShared& g = *c.g;
+    if (c.recs.empty()) { g.nslots[c.t] = 0; return 0; }
     int32_t maxd = 0;
     for (const auto& r : c.recs) if (r.d > maxd) maxd = r.d;
     std::vector<int32_t> maxcnt((size_t)maxd + 1, 0);
-    std::vector<int32_t> cnt(((size_t)maxd + 1) * c.tile_rows, 0);
+    std::vector<int32_t> cnt(((size_t)maxd + 1) * g.tile_rows, 0);
     for (const auto& r : c.recs) {
-        int32_t& k = cnt[(size_t)r.d * c.tile_rows + r.row];
+        int32_t& k = cnt[(size_t)r.d * g.tile_rows + r.row];
         k++;
         if (k > maxcnt[r.d]) maxcnt[r.d] = k;
     }
     std::vector<int32_t> base((size_t)maxd + 2, 0);
     for (int32_t d = 0; d <= maxd; d++) base[d + 1] = base[d] + maxcnt[d];
-    if (base[maxd + 1] > c.smax) return TLZ4_PLAN_OVF_SLOT;
-    c.nslots[t] = base[maxd + 1];
+    if (base[maxd + 1] > g.smax) return TLZ4_PLAN_OVF_SLOT;
+    g.nslots[c.t] = base[maxd + 1];
     std::fill(cnt.begin(), cnt.end(), 0);
-    int64_t tbase = (int64_t)t * c.tile_rows * c.smax;
+    int64_t tbase = (int64_t)c.t * g.tile_rows * g.smax;
     for (const auto& r : c.recs) {
-        int32_t& k = cnt[(size_t)r.d * c.tile_rows + r.row];
+        int32_t& k = cnt[(size_t)r.d * g.tile_rows + r.row];
         int32_t plane = base[r.d] + k;
         k++;
-        int64_t at = tbase + (int64_t)r.row * c.smax + plane;
-        c.plane_src[at] = r.S | ((int32_t)r.ph << 18);
-        c.plane_meta[at] = r.lo | ((int32_t)(r.len - 1) << 7)
+        int64_t at = tbase + (int64_t)r.row * g.smax + plane;
+        g.plane_src[at] = r.S | ((int32_t)r.ph << 18);
+        g.plane_meta[at] = r.lo | ((int32_t)(r.len - 1) << 7)
                            | ((int32_t)(r.P - 1) << 14) | (1 << 21);
     }
-    c.recs.clear();
     return 0;
 }
 
-inline int ring_switch_tile(RingCtx& c, int64_t p0) {
-    int32_t t = (int32_t)((p0 >> 7) / c.tile_rows);
-    while (c.cur_tile < t) {
-        if (int rc = ring_pack_tile(c, c.cur_tile)) return rc;
-        c.cur_tile++;
-    }
-    return 0;
-}
-
-inline int ring_push(RingCtx& c, int64_t p0, int32_t len, int64_t S,
-                     int32_t P, int32_t ph, int32_t d) {
-    if (int rc = ring_switch_tile(c, p0)) return rc;
+inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
+                      int32_t P, int32_t ph, int32_t d) {
     RingRec r;
     r.S = (int32_t)S;
-    r.row = (int16_t)((p0 >> 7) % c.tile_rows);
+    r.row = (int16_t)((p0 >> 7) % c.g->tile_rows);
     r.d = (uint8_t)d;
     r.ph = (uint8_t)ph;
     r.P = (uint8_t)P;  // P <= 128 fits
     r.lo = (uint8_t)(p0 & 127);
     r.len = (uint8_t)len;
     c.recs.push_back(r);
-    return 0;
 }
 
 // Literal record: lanes [lo, lo+len) of p0's row read comp bytes starting at
 // csrc, through the tile's literal window.
-inline int ring_emit_lit(RingCtx& c, int64_t p0, int32_t len, int64_t csrc) {
-    if (int rc = ring_switch_tile(c, p0)) return rc;
-    int32_t t = c.cur_tile;
+inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
+    const RingShared& g = *c.g;
     int32_t lo = (int32_t)(p0 & 127);
-    if (c.litblk[t] < 0) {
+    if (g.litblk[c.t] < 0) {
         int32_t first = (int32_t)(csrc >> 7);
-        c.litblk[t] = (first > 0 ? first - 1 : 0) / c.lit_w;
+        g.litblk[c.t] = (first > 0 ? first - 1 : 0) / g.lit_w;
     }
-    int64_t wbase = ((int64_t)c.litblk[t] * c.lit_w) << 7;
+    int64_t wbase = ((int64_t)g.litblk[c.t] * g.lit_w) << 7;
     int64_t S = (csrc - wbase) - lo;
     int32_t ph = 0;
     if (S < 0) {  // only near the window/stream head with a high lane_lo
@@ -671,48 +682,47 @@ inline int ring_emit_lit(RingCtx& c, int64_t p0, int32_t len, int64_t csrc) {
         S = 0;
     }
     // one row of slack so the kernel's second row pull stays in the window
-    if (S + 255 >= ((int64_t)2 * c.lit_w) << 7) return TLZ4_PLAN_OVF_LITSPAN;
-    S += ((int64_t)(c.window_rows + c.tile_rows)) << 7;  // lit region base
-    return ring_push(c, p0, len, S, 128, ph, 0);
+    if (S + 255 >= ((int64_t)2 * g.lit_w) << 7) return TLZ4_PLAN_OVF_LITSPAN;
+    S += ((int64_t)(g.window_rows + g.tile_rows)) << 7;  // lit region base
+    ring_push(c, p0, len, S, 128, ph, 0);
+    return 0;
 }
 
 // Match record: dst lanes [lo, lo+len) of p0's row read ring byte
 // S_out + ((l+ph) mod P), S_out in OUTPUT space (converted to table-local
 // here). Distinct sources [src_lo, src_hi) drive the depth.
-inline int ring_emit_match(RingCtx& c, int64_t p0, int32_t len, int64_t S_out,
+inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
                            int32_t P, int32_t ph, int64_t src_lo,
                            int64_t src_hi) {
-    int64_t ts = ring_tile_start(c, p0);
-    int64_t ring_base = ts - (((int64_t)c.window_rows) << 7);
-    int64_t S_local = S_out - ring_base;
+    const RingShared& g = *c.g;
+    int64_t S_local = S_out - c.ring_base;
     if (S_local < 0 ||
-        S_local >= (((int64_t)c.window_rows + c.tile_rows) << 7))
+        S_local >= (((int64_t)g.window_rows + g.tile_rows) << 7))
         return TLZ4_PLAN_OVERFLOW;
-    int64_t lo_s = src_lo < ts ? ts : src_lo;
+    int64_t lo_s = src_lo < c.ts ? c.ts : src_lo;
     int32_t d = 0;
     for (int64_t s = lo_s; s < src_hi; s++) {
-        int32_t v = (int32_t)c.depth[s] + 1;
+        int32_t v = (int32_t)g.depth[s] + 1;
         if (v > d) d = v;
     }
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
-    for (int32_t k = 0; k < len; k++) c.depth[p0 + k] = (uint8_t)d;
-    return ring_push(c, p0, len, S_local, P, ph, d);
+    for (int32_t k = 0; k < len; k++) g.depth[p0 + k] = (uint8_t)d;
+    ring_push(c, p0, len, S_local, P, ph, d);
+    return 0;
 }
 
 // Plain (non-periodic) piece: lane l reads s0 + (l - lo). The row-normalized
 // base s0 - lo can undershoot the ring by < 128 bytes (offset near 64 KiB
 // plus a high lane_lo); compensate with the phase field.
-inline int ring_emit_plain(RingCtx& c, int64_t p0, int32_t span, int64_t s0) {
+inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0) {
     int32_t lo = (int32_t)(p0 & 127);
     int64_t S = s0 - lo;
     int32_t ph = 0;
-    int64_t ring_base =
-        ring_tile_start(c, p0) - (((int64_t)c.window_rows) << 7);
-    if (S < ring_base) {
-        int64_t delta = ring_base - S;  // < 128 for any valid offset
+    if (S < c.ring_base) {
+        int64_t delta = c.ring_base - S;  // < 128 for any valid offset
         if (delta >= 128) return TLZ4_PLAN_OVERFLOW;
         ph = (int32_t)(128 - delta);  // byte(l) = (l+ph) mod 128 = l - delta
-        S = ring_base;                // ... for real lanes (l >= delta)
+        S = c.ring_base;              // ... for real lanes (l >= delta)
     }
     return ring_emit_match(c, p0, span, S, 128, ph, s0, s0 + span);
 }
@@ -723,47 +733,44 @@ inline int ring_emit_plain(RingCtx& c, int64_t p0, int32_t span, int64_t s0) {
 // the ring/window emit depth-0/1 resolved records (host-side partial chain
 // resolution); fragmented deep pieces fall back to raw with the depth
 // machinery (periodic for off<=128 self-overlap).
-inline int ring_emit_piece(RingCtx& c, int64_t p0, int32_t span, int64_t m0,
+inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
                            int64_t off) {
-    int64_t ring_base =
-        ring_tile_start(c, p0) - (((int64_t)c.window_rows) << 7);
+    const RingShared& g = *c.g;
     int64_t rel = p0 - m0;
     int32_t d_raw;
     if (off <= 128 && rel + span > off) {
         int64_t A = m0 - off;
-        if (A < ring_base) A += ((ring_base - A + off - 1) / off) * off;
-        int64_t ts = ring_tile_start(c, p0);
-        int64_t lo_s = A < ts ? ts : A;
+        if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
+        int64_t lo_s = A < c.ts ? c.ts : A;
         d_raw = 0;
         for (int64_t s = lo_s; s < A + off; s++) {
-            int32_t v = (int32_t)c.depth[s] + 1;
+            int32_t v = (int32_t)g.depth[s] + 1;
             if (v > d_raw) d_raw = v;
         }
     } else {
         // non-wrapping (span <= off by piece construction when off > 128):
         // distinct sources are [p0-off, p0-off+span)
         int64_t s0 = p0 - off;
-        int64_t ts = ring_tile_start(c, p0);
-        int64_t lo_s = s0 < ts ? ts : s0;
+        int64_t lo_s = s0 < c.ts ? c.ts : s0;
         d_raw = 0;
         for (int64_t s = lo_s; s < s0 + span; s++) {
-            int32_t v = (int32_t)c.depth[s] + 1;
+            int32_t v = (int32_t)g.depth[s] + 1;
             if (v > d_raw) d_raw = v;
         }
     }
-    if (d_raw >= c.resolve_min_depth) {
+    if (d_raw >= g.resolve_min_depth) {
         // split origins into affine runs
         int32_t starts[64];
         int32_t nruns = 0;
         bool usable = true;
-        int32_t RT = c.resolve_runs < 64 ? c.resolve_runs : 64;
+        int32_t RT = g.resolve_runs < 64 ? g.resolve_runs : 64;
         for (int32_t k = 0; k < span && nruns <= RT; k++) {
-            int32_t o = c.origin[p0 + k];
+            int32_t o = g.origin[p0 + k];
             bool extends;
             if (k == 0) {
                 extends = false;
             } else {
-                int32_t prev = c.origin[p0 + k - 1];
+                int32_t prev = g.origin[p0 + k - 1];
                 // literal runs step +1 in comp space; ring runs step +1 in
                 // output space, i.e. -(g+1) steps DOWN by 1.
                 extends = (prev >= 0) ? (o == prev + 1) : (o == prev - 1);
@@ -771,7 +778,7 @@ inline int ring_emit_piece(RingCtx& c, int64_t p0, int32_t span, int64_t m0,
             if (!extends) {
                 if (nruns < 64) starts[nruns] = k;
                 nruns++;
-                if (o < 0 && (int64_t)(-(int64_t)o - 1) < ring_base)
+                if (o < 0 && (int64_t)(-(int64_t)o - 1) < c.ring_base)
                     usable = false;  // telescoped origin left the ring
             }
         }
@@ -779,7 +786,7 @@ inline int ring_emit_piece(RingCtx& c, int64_t p0, int32_t span, int64_t m0,
             for (int32_t i = 0; i < nruns; i++) {
                 int32_t k0 = starts[i];
                 int32_t k1 = (i + 1 < nruns) ? starts[i + 1] : span;
-                int32_t o = c.origin[p0 + k0];
+                int32_t o = g.origin[p0 + k0];
                 int rc_;
                 if (o >= 0)
                     rc_ = ring_emit_lit(c, p0 + k0, k1 - k0, o);
@@ -796,7 +803,7 @@ inline int ring_emit_piece(RingCtx& c, int64_t p0, int32_t span, int64_t m0,
         // periodic raw record anchored at a period-aligned window
         int32_t lo = (int32_t)(p0 & 127);
         int64_t A = m0 - off;
-        if (A < ring_base) A += ((ring_base - A + off - 1) / off) * off;
+        if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
         int32_t ph = (int32_t)(((rel - lo) % off + off) % off);
         return ring_emit_match(c, p0, span, A, (int32_t)off, ph, A, A + off);
     }
@@ -806,14 +813,13 @@ inline int ring_emit_piece(RingCtx& c, int64_t p0, int32_t span, int64_t m0,
         int64_t first = off - relm;
         if (first > span) first = span;
         int64_t s0 = m0 - off + relm;
-        if (s0 < ring_base) s0 += ((ring_base - s0 + off - 1) / off) * off;
+        if (s0 < c.ring_base) s0 += ((c.ring_base - s0 + off - 1) / off) * off;
         if (int rc_ = ring_emit_plain(c, p0, (int32_t)first, s0)) return rc_;
         if (first < span) {
             int64_t p2 = p0 + first;
             int64_t s2 = m0 - off;
-            int64_t rb2 =
-                ring_tile_start(c, p2) - (((int64_t)c.window_rows) << 7);
-            if (s2 < rb2) s2 += ((rb2 - s2 + off - 1) / off) * off;
+            if (s2 < c.ring_base)
+                s2 += ((c.ring_base - s2 + off - 1) / off) * off;
             if (int rc_ = ring_emit_plain(c, p2, (int32_t)(span - first), s2))
                 return rc_;
         }
@@ -821,46 +827,129 @@ inline int ring_emit_piece(RingCtx& c, int64_t p0, int32_t span, int64_t m0,
     }
     return ring_emit_plain(c, p0, span, p0 - off);
 }
-}  // namespace
 
-TLZ4_API int64_t tlz4_build_ring_plan(
-    const uint8_t* input, size_t input_len, int64_t expected_out,
-    int32_t tile_rows, int32_t window_rows, int32_t smax, int32_t lit_w,
-    int32_t ntiles, int32_t resolve_min_depth, int32_t resolve_runs,
-    int32_t* plane_src, int32_t* plane_meta,
-    int32_t* nslots, int32_t* litblk,
-    uint8_t* depth, int32_t* origin, int64_t* total_out)
+// Pass 1: serial token walk over every block into a global sequence table.
+// `blk_store[b]` marks stored (uncompressed) blocks, which become
+// literal-only pseudo-sequences. `independent` restricts match reach to the
+// block's own output (the reference decodes independent-mode blocks with no
+// dictionary, /root/reference/src/frame/decompress.rs:294-306).
+int64_t ring_parse_blocks(
+    const uint8_t* input, size_t input_len,
+    const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
+    int32_t nblocks, int32_t independent, int64_t expected_out,
+    std::vector<RingSeq>& seqs, int64_t* total_out)
 {
-    RingCtx c{tile_rows, window_rows, smax, lit_w, ntiles,
-              resolve_min_depth, resolve_runs, expected_out,
-              plane_src, plane_meta, nslots, litblk, depth, origin,
-              {}, 0};
-    for (int32_t t = 0; t < ntiles; t++) litblk[t] = -1;
-
-    size_t ip = 0;
-    int64_t nseq = 0;
     int64_t opos = 0;
-    for (;;) {
-        if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
-        uint8_t token = input[ip++];
-        size_t ll = token >> 4;
-        if (ll == 0xF) {
-            for (;;) {
-                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
-                uint8_t b = input[ip++];
-                ll += b;
-                if (b != 0xFF) break;
+    int64_t nseq = 0;
+    for (int32_t b = 0; b < nblocks; b++) {
+        if (blk_off[b] < 0 || blk_len[b] < 0 ||
+            (uint64_t)(blk_off[b] + blk_len[b]) > input_len)
+            return TLZ4_ERR_LITERAL_OOB;
+        size_t ip = (size_t)blk_off[b];
+        const size_t end = ip + (size_t)blk_len[b];
+        if (blk_store && blk_store[b]) {
+            if (blk_len[b] == 0) continue;
+            if (opos + blk_len[b] > expected_out) {
+                *total_out = opos + blk_len[b];
+                return TLZ4_ERR_OUTPUT_TOO_SMALL;
             }
+            seqs.push_back({(int64_t)ip, opos, (int32_t)blk_len[b], 0, 0});
+            opos += blk_len[b];
+            nseq++;
+            continue;
         }
-        if (ll > input_len - ip) return TLZ4_ERR_LITERAL_OOB;
-        if (opos + (int64_t)ll > c.expected_out) {
-            *total_out = opos + (int64_t)ll;
-            return TLZ4_ERR_OUTPUT_TOO_SMALL;
+        const int64_t obase = independent ? opos : 0;
+        for (;;) {
+            if (ip >= end) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+            uint8_t token = input[ip++];
+            size_t ll = token >> 4;
+            if (ll == 0xF) {
+                for (;;) {
+                    if (ip >= end) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                    uint8_t x = input[ip++];
+                    ll += x;
+                    if (x != 0xFF) break;
+                }
+            }
+            if (ll > end - ip) return TLZ4_ERR_LITERAL_OOB;
+            if (opos + (int64_t)ll > expected_out) {
+                *total_out = opos + (int64_t)ll;
+                return TLZ4_ERR_OUTPUT_TOO_SMALL;
+            }
+            RingSeq q;
+            q.lit_start = (int64_t)ip;
+            q.out_off = opos;
+            q.lit_len = (int32_t)ll;
+            ip += ll;
+            opos += (int64_t)ll;
+            if (ip >= end) {
+                q.match_len = 0;
+                q.match_off = 0;
+                seqs.push_back(q);
+                nseq++;
+                break;
+            }
+            if (end - ip < 2) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+            size_t offset = load16(input + ip);
+            ip += 2;
+            if (offset == 0) return TLZ4_ERR_OFFSET_ZERO;
+            size_t ml = token & 0xF;
+            if (ml == 0xF) {
+                for (;;) {
+                    if (ip >= end) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                    uint8_t x = input[ip++];
+                    ml += x;
+                    if (x != 0xFF) break;
+                }
+            }
+            ml += MINMATCH;
+            if (opos - (int64_t)offset < obase) return TLZ4_ERR_OFFSET_OOB;
+            if (opos + (int64_t)ml > expected_out) {
+                *total_out = opos + (int64_t)ml;
+                return TLZ4_ERR_OUTPUT_TOO_SMALL;
+            }
+            q.match_off = (int32_t)offset;
+            q.match_len = (int32_t)ml;
+            seqs.push_back(q);
+            nseq++;
+            opos += (int64_t)ml;
         }
-        {   // literal fragment [opos, opos+ll) from comp [ip, ip+ll)
-            int64_t p = opos, csrc = (int64_t)ip, rem = (int64_t)ll;
-            for (int64_t k = 0; k < rem; k++)
-                c.origin[p + k] = (int32_t)(csrc + k);
+    }
+    *total_out = opos;
+    return nseq;
+}
+
+// Pass 2, one tile: origin chase + record emission for output [ts, te).
+// Reads g.depth/g.origin only inside the tile, so tiles are independent.
+int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
+                    int32_t t) {
+    RingTile c;
+    c.g = &g;
+    c.t = t;
+    c.ts = ((int64_t)t * g.tile_rows) << 7;
+    c.te = c.ts + (((int64_t)g.tile_rows) << 7);
+    c.ring_base = c.ts - (((int64_t)g.window_rows) << 7);
+    g.litblk[t] = -1;
+
+    // last sequence starting at or before ts
+    size_t lo = 0, hi = seqs.size();
+    while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        if (seqs[mid].out_off <= c.ts) lo = mid + 1; else hi = mid;
+    }
+    size_t i = lo > 0 ? lo - 1 : 0;
+
+    for (; i < seqs.size() && seqs[i].out_off < c.te; i++) {
+        const RingSeq& q = seqs[i];
+        // literal fragment [out_off, out_off+ll) from comp [lit_start, ...)
+        int64_t l1 = q.out_off + q.lit_len;
+        int64_t p = q.out_off < c.ts ? c.ts : q.out_off;
+        int64_t pe = l1 < c.te ? l1 : c.te;
+        if (p < pe) {
+            int64_t csrc = q.lit_start + (p - q.out_off);
+            for (int64_t k = p; k < pe; k++)
+                g.origin[k] = (int32_t)(csrc + (k - p));
+            int64_t rem = pe - p;
             while (rem > 0) {
                 int32_t span = (int32_t)(128 - (p & 127));
                 if (span > rem) span = (int32_t)rem;
@@ -868,58 +957,80 @@ TLZ4_API int64_t tlz4_build_ring_plan(
                 p += span; csrc += span; rem -= span;
             }
         }
-        ip += ll;
-        opos += (int64_t)ll;
-        if (ip >= input_len) { nseq++; break; }
-        if (input_len - ip < 2) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
-        size_t offset = load16(input + ip);
-        ip += 2;
-        if (offset == 0) return TLZ4_ERR_OFFSET_ZERO;
-        size_t ml = token & 0xF;
-        if (ml == 0xF) {
-            for (;;) {
-                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
-                uint8_t b = input[ip++];
-                ml += b;
-                if (b != 0xFF) break;
-            }
+        if (q.match_len <= 0) continue;
+        // match fragment [m0, m0+ml)
+        const int64_t m0 = l1;
+        const int64_t off = (int64_t)q.match_off;
+        int64_t mp = m0 < c.ts ? c.ts : m0;
+        int64_t me = m0 + q.match_len < c.te ? m0 + q.match_len : c.te;
+        if (mp >= me) continue;
+        // Tile-local origin chase: byte pk copies from sk = pk - off;
+        // in-tile sources inherit the source byte's origin (host-side
+        // partial chain resolution), pre-tile sources become ring origins
+        // -(sk+1). Sequential in pk, so self-overlap needs no special case.
+        for (int64_t pk = mp; pk < me; pk++) {
+            int64_t sk = pk - off;
+            g.origin[pk] = sk >= c.ts ? g.origin[sk] : (int32_t)(-sk - 1);
         }
-        ml += MINMATCH;
-        const int64_t m0 = opos;
-        const int64_t off = (int64_t)offset;
-        if (m0 - off < 0) return TLZ4_ERR_OFFSET_OOB;
-        if (opos + (int64_t)ml > c.expected_out) {
-            *total_out = opos + (int64_t)ml;
-            return TLZ4_ERR_OUTPUT_TOO_SMALL;
+        int64_t pp = mp, rem = me - mp;
+        while (rem > 0) {
+            int32_t span = (int32_t)(128 - (pp & 127));
+            if (span > rem) span = (int32_t)rem;
+            if (int rc_ = ring_emit_piece(c, pp, span, m0, off)) return rc_;
+            pp += span; rem -= span;
         }
-        {
-            // Tile-local origin chase: byte p+k copies from s = p+k-off;
-            // in-tile sources inherit the source byte's origin (host-side
-            // partial chain resolution), pre-tile sources become ring
-            // origins -(g+1). Sequential, so self-overlap needs no special
-            // casing here.
-            for (int64_t k = 0; k < (int64_t)ml; k++) {
-                int64_t pk = m0 + k;
-                int64_t sk = pk - off;
-                int64_t ts = (((pk >> 7) / tile_rows) * tile_rows) << 7;
-                c.origin[pk] = sk >= ts ? c.origin[sk] : (int32_t)(-sk - 1);
-            }
-            int64_t p = m0, rem = (int64_t)ml;
-            while (rem > 0) {
-                int32_t span = (int32_t)(128 - (p & 127));
-                if (span > rem) span = (int32_t)rem;
-                if (int rc_ = ring_emit_piece(c, p, span, m0, off)) return rc_;
-                p += span; rem -= span;
-            }
-        }
-        nseq++;
-        opos += (int64_t)ml;
     }
-    *total_out = opos;
-    for (int32_t t = c.cur_tile; t < ntiles; t++) {
-        if (int rc_ = ring_pack_tile(c, t)) return rc_;
+    if (g.litblk[t] < 0) g.litblk[t] = 0;
+    return ring_pack_tile(c);
+}
+}  // namespace
+
+TLZ4_API int64_t tlz4_build_ring_plan(
+    const uint8_t* input, size_t input_len,
+    const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
+    int32_t nblocks, int32_t independent, int64_t expected_out,
+    int32_t tile_rows, int32_t window_rows, int32_t smax, int32_t lit_w,
+    int32_t ntiles, int32_t resolve_min_depth, int32_t resolve_runs,
+    int32_t nthreads,
+    int32_t* plane_src, int32_t* plane_meta,
+    int32_t* nslots, int32_t* litblk,
+    uint8_t* depth, int32_t* origin, int64_t* total_out)
+{
+    std::vector<RingSeq> seqs;
+    seqs.reserve(input_len / 5 + 8);
+    int64_t nseq = ring_parse_blocks(
+        input, input_len, blk_off, blk_len, blk_store, nblocks, independent,
+        expected_out, seqs, total_out);
+    if (nseq < 0) return nseq;
+    if (*total_out != expected_out) return nseq;  // caller raises size error
+
+    RingShared g{tile_rows, window_rows, smax, lit_w, ntiles,
+                 resolve_min_depth, resolve_runs, expected_out,
+                 plane_src, plane_meta, nslots, litblk, depth, origin};
+    std::atomic<int32_t> next{0};
+    std::atomic<int32_t> err{0};
+    auto work = [&]() {
+        for (;;) {
+            int32_t t = next.fetch_add(1);
+            if (t >= ntiles || err.load(std::memory_order_relaxed)) break;
+            if (int rc = ring_build_tile(g, seqs, t)) {
+                int32_t expected = 0;
+                err.compare_exchange_strong(expected, (int32_t)rc);
+            }
+        }
+    };
+    int32_t nth = nthreads > 0 ? nthreads
+                               : (int32_t)std::thread::hardware_concurrency();
+    if (nth < 1) nth = 1;
+    if (nth > ntiles) nth = ntiles;
+    if (nth <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(nth);
+        for (int32_t i = 0; i < nth; i++) pool.emplace_back(work);
+        for (auto& th : pool) th.join();
     }
-    for (int32_t t = 0; t < ntiles; t++)
-        if (c.litblk[t] < 0) c.litblk[t] = 0;
+    if (int32_t rc = err.load()) return rc;
     return nseq;
 }

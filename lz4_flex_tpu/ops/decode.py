@@ -405,14 +405,36 @@ def decode_block_device(
 ):
     """Decompress one raw LZ4 block on the device.
 
-    ``parse`` selects the sequence parser: "host" (native C++ sequential
-    parse feeding the device expansion — the hybrid fast path) or "device"
-    (fully on-device speculative parse, ops/parse.py).
+    ``parse`` selects the engine: "ring" (host plan build feeding the Pallas
+    ring kernel — the production fast path; falls back to "host" when the
+    block does not fit the static plan shape), "host" (native C++ sequential
+    parse feeding the XLA expansion), or "device" (fully on-device
+    speculative parse, ops/parse.py).
 
     Returns bytes, or the device uint8 array when ``as_array`` is true.
     """
     comp = _as_u8(data)
     dic = _as_u8(ext_dict)
+    if parse == "ring" and dic.shape[0] == 0:
+        from .ringdecode import (
+            build_ring_plan,
+            decode_block_ring,
+            ring_engine_available,
+        )
+
+        plan = None
+        if ring_engine_available():
+            seq = parse_sequences_host(comp)
+            _validate(seq, 0, max_output_size)
+            plan = build_ring_plan(comp, seq.total_out)
+        if plan is not None:
+            out = decode_block_ring(comp, seq.total_out, plan=plan)
+            if as_array:
+                import jax.numpy as jnp
+
+                return jnp.asarray(np.frombuffer(out, np.uint8))
+            return out
+        parse = "host"
     if parse == "device":
         from .parse import parse_sequences_device
 

@@ -70,9 +70,10 @@ def _native_lib():
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.tlz4_build_ring_plan.restype = ctypes.c_int64
         lib.tlz4_build_ring_plan.argtypes = [
-            u8p, ctypes.c_size_t, ctypes.c_int64,
+            u8p, ctypes.c_size_t,
+            i64p, i64p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p,
             u8p, i32p, i64p,
         ]
@@ -80,26 +81,48 @@ def _native_lib():
     return lib
 
 
-def build_ring_plan(
-    comp,
+def build_ring_plan_parts(
+    parts,
     total_out: int,
     *,
+    independent: bool = False,
+    nthreads: int = 0,
     tile_rows: int = TILE_ROWS,
     window_rows: int = WINDOW_ROWS,
     smax: int = SMAX,
     lit_w: int = LIT_W,
     resolve_min_depth: int = RESOLVE_MIN_DEPTH,
     resolve_runs: int = RESOLVE_RUNS,
-) -> RingPlan | None:
-    """Build the ring-decoder plan for one block on the host.
+):
+    """Build the ring-decoder plan for a block list on the host.
 
-    Returns None when the block does not fit the static plan shape (plane,
-    depth, or literal-window overflow) — callers fall back to the XLA
-    expansion path. Raises the block error taxonomy on malformed input.
+    ``parts`` is a list of (payload, is_compressed) pairs in frame order —
+    one entry decodes a raw block, several decode a whole frame body (stored
+    blocks pass through as literal pseudo-sequences, the reference's
+    Uncompressed block kind, /root/reference/src/frame/header.rs:376-411).
+    ``independent`` restricts every match to its own block's output.
+
+    The builder parses once (serial) and then builds output tiles on a host
+    thread pool — origin/depth chasing is strictly tile-local, so tiles
+    share nothing and the build scales with cores.
+
+    Returns (plan, concatenated_comp) — the second feeds the kernel's
+    literal windows — or (None, None) when the input does not fit the
+    static plan shape (plane, depth, or literal-window overflow); callers
+    fall back to the XLA expansion path. Raises the block error taxonomy on
+    malformed input.
     """
     from .decode import _as_u8
 
-    buf = _as_u8(comp)
+    bufs = [_as_u8(p) for p, _ in parts]
+    comp = np.concatenate(bufs) if len(bufs) != 1 else bufs[0]
+    blk_off = np.zeros(len(parts), np.int64)
+    blk_len = np.array([b.shape[0] for b in bufs], np.int64)
+    np.cumsum(blk_len[:-1], out=blk_off[1:])
+    blk_store = np.array(
+        [0 if is_comp else 1 for _, is_comp in parts], np.uint8
+    )
+
     nrows = -(-max(total_out, 1) // 128)
     ntiles = -(-nrows // tile_rows)
     plane_src = np.zeros((ntiles, tile_rows, smax), np.int32)
@@ -112,28 +135,39 @@ def build_ring_plan(
 
     lib = _native_lib()
     i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     rc = lib.tlz4_build_ring_plan(
-        buf.ctypes.data_as(u8p), buf.shape[0], total_out,
+        comp.ctypes.data_as(u8p), comp.shape[0],
+        blk_off.ctypes.data_as(i64p), blk_len.ctypes.data_as(i64p),
+        blk_store.ctypes.data_as(u8p), len(parts),
+        1 if independent else 0, total_out,
         tile_rows, window_rows, smax, lit_w,
-        ntiles, resolve_min_depth, resolve_runs,
+        ntiles, resolve_min_depth, resolve_runs, nthreads,
         plane_src.ctypes.data_as(i32p), plane_meta.ctypes.data_as(i32p),
         nslots.ctypes.data_as(i32p), litblk.ctypes.data_as(i32p),
         depth.ctypes.data_as(u8p), origin.ctypes.data_as(i32p),
-        tot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tot.ctypes.data_as(i64p),
     )
     if rc in PLAN_OVERFLOW_CODES:
-        return None
+        return None, None
     if rc < 0:
         from .. import native as _native
 
         _native._raise_decompress_error(int(rc), int(tot[0]), total_out)
     if int(tot[0]) != total_out:
         raise block_errors.OutputTooSmall(int(tot[0]), total_out)
-    return RingPlan(
+    plan = RingPlan(
         plane_src, plane_meta, nslots, litblk, total_out, ntiles,
         tile_rows, window_rows, lit_w, smax,
     )
+    return plan, comp
+
+
+def build_ring_plan(comp, total_out: int, **kw) -> RingPlan | None:
+    """Single raw-block form of :func:`build_ring_plan_parts`."""
+    plan, _ = build_ring_plan_parts([(comp, True)], total_out, **kw)
+    return plan
 
 
 def _comp_rows(plan: RingPlan, comp) -> np.ndarray:
@@ -345,6 +379,62 @@ def decode_block_ring(comp, total_out: int, *, plan: RingPlan | None = None,
         plan = build_ring_plan(comp, total_out)
         if plan is None:
             return None
+    arrs = ring_plan_device_arrays(plan, comp)
+    out = ring_decode_jit(*arrs, ntiles=arrs[0].shape[0],
+                          nblk=arrs[2].shape[0] // plan.lit_w,
+                          interpret=interpret)
+    flat = np.asarray(out, dtype=np.uint8).reshape(-1)
+    return flat[: plan.total_out].tobytes()
+
+
+def ring_engine_available() -> bool:
+    """The Mosaic kernel needs a real TPU; other backends fall back to the
+    XLA expansion engines (interpret mode stays available for tests)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def decode_parts_ring(
+    parts,
+    *,
+    independent: bool = False,
+    max_block_size: int | None = None,
+    interpret: bool = False,
+):
+    """Decode a whole multi-block frame body through the ring kernel.
+
+    ``parts`` is the frame's block list in order: (payload, is_compressed)
+    pairs; linked-mode window references resolve through the kernel's 64 KiB
+    output ring (the TPU form of the reference's ext_dict stitching,
+    /root/reference/src/frame/decompress.rs:282-292). Returns bytes, or None
+    when the frame does not fit the static plan shape (caller falls back to
+    the XLA expansion path). Raises the block error taxonomy on malformed
+    input.
+    """
+    from .decode import _as_u8
+    from .sequences import parse_sequences_host
+
+    if not interpret and not ring_engine_available():
+        return None
+    total = 0
+    for payload, is_comp in parts:
+        p = _as_u8(payload)
+        if is_comp:
+            seq = parse_sequences_host(p)
+            if max_block_size is not None and seq.total_out > max_block_size:
+                raise block_errors.OutputTooSmall(seq.total_out, max_block_size)
+            total += seq.total_out
+        else:
+            total += p.shape[0]
+    if total == 0:
+        return b""
+    plan, comp = build_ring_plan_parts(parts, total, independent=independent)
+    if plan is None:
+        return None
     arrs = ring_plan_device_arrays(plan, comp)
     out = ring_decode_jit(*arrs, ntiles=arrs[0].shape[0],
                           nblk=arrs[2].shape[0] // plan.lit_w,

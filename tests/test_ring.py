@@ -1,0 +1,152 @@
+"""Ring-decoder tier: host plan builder + numpy simulator + interpret-mode
+Pallas kernel.
+
+The numpy simulator (ops/ringdecode.py:simulate_ring_plan) is the executable
+spec of the TPU kernel; these tests pin the plan builder against the golden
+decoder byte-for-byte, drive the kernel itself in Pallas interpret mode on
+small blocks, and enforce the error taxonomy on the plan-building parse
+(the same walk as the reference's token loop,
+/root/reference/src/block/decompress.rs:201-444).
+"""
+
+import numpy as np
+import pytest
+
+from lz4_flex_tpu import block
+from lz4_flex_tpu.block import errors as block_errors
+from lz4_flex_tpu.ops.ringdecode import (
+    build_ring_plan,
+    build_ring_plan_parts,
+    decode_block_ring,
+    simulate_ring_plan,
+)
+
+
+def _u8(b: bytes) -> np.ndarray:
+    return np.frombuffer(b, np.uint8)
+
+
+def _plan_roundtrip(data: bytes) -> None:
+    comp = block.compress(data)
+    plan = build_ring_plan(_u8(comp), len(data))
+    assert plan is not None
+    assert simulate_ring_plan(plan, _u8(comp)) == data
+
+
+def test_plan_sim_corpora(corpus_set):
+    for data in corpus_set.values():
+        if data:
+            _plan_roundtrip(data)
+
+
+def test_plan_sim_edge_patterns():
+    rng = np.random.default_rng(7)
+    cases = [
+        b"a" * 70000,  # offset-1 RLE across row and tile boundaries
+        b"ab" * 35000,  # offset 2
+        b"abcdefg" * 11000,  # offset 7
+        bytes(rng.integers(0, 256, 150000, dtype=np.uint8)),  # incompressible
+        (b"x" * 200 + bytes(rng.integers(0, 256, 64, dtype=np.uint8))) * 400,
+    ]
+    for data in cases:
+        _plan_roundtrip(data)
+
+
+def test_plan_sim_deep_chains():
+    # Repeated doubling produces deep match chains (the depth machinery and
+    # the host-side partial resolution both get exercised).
+    data = b"01"
+    while len(data) < 300000:
+        data = data + data[-1024:] * 3
+    _plan_roundtrip(data[:300000])
+
+
+def test_parts_independent_with_stored(corpus_65k):
+    blocks = [corpus_65k[i : i + 16384] for i in range(0, len(corpus_65k), 16384)]
+    parts = []
+    for i, b in enumerate(blocks):
+        if i % 3 == 1:
+            parts.append((_u8(b), False))  # stored block passthrough
+        else:
+            parts.append((_u8(block.compress(b)), True))
+    total = sum(len(b) for b in blocks)
+    plan, comp = build_ring_plan_parts(parts, total, independent=True)
+    assert plan is not None
+    assert simulate_ring_plan(plan, comp) == corpus_65k
+
+
+def test_parts_linked_window(corpus_65k):
+    # Linked-mode frame: each block compressed against the previous 64 KiB,
+    # decoded through the kernel's output ring with no dictionary plumbing.
+    data = corpus_65k * 3
+    bs = 32768
+    parts = []
+    tail = b""
+    for i in range(0, len(data), bs):
+        b = data[i : i + bs]
+        c = block.compress_with_dict(b, tail) if tail else block.compress(b)
+        parts.append((_u8(c), True))
+        tail = (tail + b)[-65536:]
+    plan, comp = build_ring_plan_parts(parts, len(data), independent=False)
+    assert plan is not None
+    assert simulate_ring_plan(plan, comp) == data
+
+
+def test_parts_independent_rejects_cross_block_refs(corpus_34k):
+    # A linked stream decoded as independent must raise OffsetOutOfBounds
+    # (reference: 'offset not contained in the decompressed buffer').
+    bs = 8192
+    parts = []
+    tail = b""
+    for i in range(0, len(corpus_34k), bs):
+        b = corpus_34k[i : i + bs]
+        c = block.compress_with_dict(b, tail) if tail else block.compress(b)
+        parts.append((_u8(c), True))
+        tail = (tail + b)[-65536:]
+    with pytest.raises(block_errors.OffsetOutOfBounds):
+        build_ring_plan_parts(parts, len(corpus_34k), independent=True)
+
+
+def test_plan_error_taxonomy():
+    with pytest.raises(block_errors.OffsetZero):
+        build_ring_plan(np.array([0x10, 65, 0, 0], np.uint8), 5)
+    with pytest.raises(block_errors.OffsetOutOfBounds):
+        build_ring_plan(np.array([0x10, 65, 100, 0], np.uint8), 5)
+    with pytest.raises(block_errors.ExpectedAnotherByte):
+        build_ring_plan(np.array([0xF0, 0xFF], np.uint8), 2000)
+    with pytest.raises(block_errors.LiteralOutOfBounds):
+        build_ring_plan(np.array([0x45], np.uint8), 20)
+    with pytest.raises(block_errors.LiteralOutOfBounds):
+        build_ring_plan(np.array([0xF0, 10, 65], np.uint8), 200)
+
+
+def test_plan_wrong_expected_size_raises(corpus_1k):
+    comp = block.compress(corpus_1k)
+    with pytest.raises(block_errors.OutputTooSmall):
+        build_ring_plan(_u8(comp), len(corpus_1k) - 1)
+
+
+def test_plan_deterministic_across_threads(corpus_34k):
+    comp = _u8(block.compress(corpus_34k))
+    a = build_ring_plan(comp, len(corpus_34k), nthreads=1)
+    b = build_ring_plan(comp, len(corpus_34k), nthreads=4)
+    np.testing.assert_array_equal(a.plane_src, b.plane_src)
+    np.testing.assert_array_equal(a.plane_meta, b.plane_meta)
+    np.testing.assert_array_equal(a.nslots, b.nslots)
+    np.testing.assert_array_equal(a.litblk, b.litblk)
+
+
+def test_kernel_interpret_matches_sim(corpus_34k):
+    # The Pallas kernel in interpret mode (CPU) against the golden bytes on
+    # a block spanning two tiles.
+    data = corpus_34k + corpus_34k[:32768]
+    comp = block.compress(data)
+    got = decode_block_ring(_u8(comp), len(data), interpret=True)
+    assert got == data
+
+
+def test_kernel_interpret_rle_overlap():
+    data = b"z" * 40000 + b"yx" * 3000 + b"abcdefg" * 2000
+    comp = block.compress(data)
+    got = decode_block_ring(_u8(comp), len(data), interpret=True)
+    assert got == data
