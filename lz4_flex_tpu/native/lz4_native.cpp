@@ -1034,3 +1034,138 @@ TLZ4_API int64_t tlz4_build_ring_plan(
     if (int32_t rc = err.load()) return rc;
     return nseq;
 }
+
+// ---------------------------------------------------------------------------
+// Hybrid encoder: host greedy walk over device-found match candidates
+// ---------------------------------------------------------------------------
+//
+// The TPU finds, for every position, the 4 closest previous occurrences of
+// its 4-byte word (exact, via lexicographic sort — ops/encode.py
+// candidates_core); this walk turns them into a spec-valid LZ4 block the
+// same way the reference's compress_internal turns hash-table probes into
+// one (/root/reference/src/block/compress.rs:318-489): exact forward
+// extension, one-step lazy deferral, backward extension over the pending
+// literal run, LSIC emission, MFLIMIT/END_OFFSET end rules. Every candidate
+// is re-verified with exact byte compares, so device output is never
+// correctness-critical — garbage candidates only cost ratio.
+//
+// G is the stream: ext_dict ++ data, data starting at dict_len. Candidate
+// rows cover chunks of G (the device kernel's fixed compile shape):
+// chunk r spans G[gstart[r], gstart[r]+...) with its data region starting
+// at gstart[r]+dvec[r]; the data regions partition [dict_len, g_len).
+// d12/d34 pack per-position back-distances (d1 | d2<<16, d3 | d4<<16),
+// closest first, 0 = none.
+
+namespace {
+// Exact match length of G[p..] vs G[c..], capped at `limit` bytes.
+// Reads stay under p+limit, so callers capping limit at n-5 never overread.
+inline int64_t hybrid_match_len(const uint8_t* G, int64_t p, int64_t c,
+                                int64_t limit) {
+    int64_t l = 0;
+    while (l + 8 <= limit) {
+        uint64_t x = load64(G + p + l) ^ load64(G + c + l);
+        if (x) return l + (int64_t)(__builtin_ctzll(x) >> 3);
+        l += 8;
+    }
+    while (l < limit && G[p + l] == G[c + l]) l++;
+    return l;
+}
+
+struct HybridCands {
+    const uint32_t* d12;
+    const uint32_t* d34;
+    const int64_t* gstart;
+    const int32_t* dvec;
+    int32_t nrows;
+    int64_t pad;
+};
+
+// Best candidate at global position p (row = chunk containing p):
+// longest exact match, ties to the closest. Returns length (0 if < MINMATCH).
+inline int64_t hybrid_best(const HybridCands& C, const uint8_t* G, int64_t p,
+                           int64_t n, int32_t row, uint32_t* best_delta) {
+    int64_t plocal = p - C.gstart[row];
+    uint32_t a = C.d12[(int64_t)row * C.pad + plocal];
+    uint32_t b = C.d34[(int64_t)row * C.pad + plocal];
+    uint32_t deltas[4] = {a & 0xFFFF, a >> 16, b & 0xFFFF, b >> 16};
+    int64_t limit = n - 5 - p;
+    int64_t best = 0;
+    uint32_t bd = 0;
+    for (int j = 0; j < 4; j++) {
+        uint32_t d = deltas[j];
+        if (!d || (int64_t)d > p) continue;
+        int64_t l = hybrid_match_len(G, p, p - (int64_t)d, limit);
+        if (l > best) { best = l; bd = d; }
+    }
+    if (best < (int64_t)MINMATCH) return 0;
+    *best_delta = bd;
+    return best;
+}
+}  // namespace
+
+TLZ4_API int64_t tlz4_compress_with_candidates(
+    const uint8_t* G, int64_t g_len, int64_t dict_len,
+    const uint32_t* d12, const uint32_t* d34,
+    const int64_t* gstart, const int32_t* dvec, int32_t nrows, int64_t pad,
+    uint8_t* out, int64_t out_cap)
+{
+    HybridCands C{d12, d34, gstart, dvec, nrows, pad};
+    const int64_t n = g_len;
+    int64_t op = 0;
+    int64_t lit_start = dict_len;
+    int64_t p = dict_len;
+    int32_t row = 0;
+
+    auto data_end = [&](int32_t r) -> int64_t {
+        return r + 1 < nrows ? gstart[r + 1] + dvec[r + 1] : n;
+    };
+    auto write_lsic = [&](int64_t v) {
+        while (v >= 255) { out[op++] = 255; v -= 255; }
+        out[op++] = (uint8_t)v;
+    };
+
+    if (n - dict_len < (int64_t)LZ4_MIN_LENGTH) p = n;  // all-literal tiny block
+    while (p + (int64_t)MFLIMIT <= n) {
+        while (row + 1 < nrows && p >= data_end(row)) row++;
+        uint32_t bd;
+        int64_t l = hybrid_best(C, G, p, n, row, &bd);
+        if (!l) { p++; continue; }
+        if (p + (int64_t)MFLIMIT + 1 <= n) {
+            // one-step lazy deferral: a strictly longer match at p+1 wins
+            int32_t row2 = row;
+            while (row2 + 1 < nrows && p + 1 >= data_end(row2)) row2++;
+            uint32_t bd2;
+            int64_t l2 = hybrid_best(C, G, p + 1, n, row2, &bd2);
+            if (l2 > l) { p++; continue; }
+        }
+        // backward extension over the pending literal run
+        int64_t c = p - (int64_t)bd;
+        int64_t b = 0;
+        while (p - b > lit_start && c - b > 0 && G[p - b - 1] == G[c - b - 1])
+            b++;
+        int64_t ll = (p - b) - lit_start;
+        int64_t mlc = l + b - (int64_t)MINMATCH;
+        if (op + 1 + ll / 255 + 1 + ll + 2 + mlc / 255 + 1 > out_cap)
+            return -1;
+        out[op++] = (uint8_t)((ll < 15 ? ll : 15) << 4
+                              | (mlc < 15 ? mlc : 15));
+        if (ll >= 15) write_lsic(ll - 15);
+        std::memcpy(out + op, G + lit_start, (size_t)ll);
+        op += ll;
+        store16(out + op, (uint16_t)bd);
+        op += 2;
+        if (mlc >= 15) write_lsic(mlc - 15);
+        p += l;
+        lit_start = p;
+    }
+    // literal-only last sequence (spec end rule)
+    {
+        int64_t ll = n - lit_start;
+        if (op + 1 + ll / 255 + 1 + ll > out_cap) return -1;
+        out[op++] = (uint8_t)((ll < 15 ? ll : 15) << 4);
+        if (ll >= 15) write_lsic(ll - 15);
+        std::memcpy(out + op, G + lit_start, (size_t)ll);
+        op += ll;
+    }
+    return op;
+}

@@ -19,7 +19,7 @@ Modules:
 
 from . import packing, sequences
 from .decode import decode_block_device
-from .encode import compress_block_device
+from .encode import compress_block_device, compress_block_hybrid
 from .parse import parse_sequences_device
 
 __all__ = [
@@ -27,5 +27,6 @@ __all__ = [
     "sequences",
     "decode_block_device",
     "compress_block_device",
+    "compress_block_hybrid",
     "parse_sequences_device",
 ]

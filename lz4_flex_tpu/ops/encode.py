@@ -281,6 +281,41 @@ def emit_core(
     return out, total_comp
 
 
+def candidates_core(u8):
+    """Stage 1 only, packed for the hybrid encoder: the 4 closest previous
+    occurrences of every position's 4-byte word, as u16 back-distances.
+
+    Returns (d12, d34) uint32 arrays packing (delta1 | delta2 << 16) and
+    (delta3 | delta4 << 16); 0 means no candidate (or out of MAX_DISTANCE
+    reach). The host walk (native tlz4_compress_with_candidates) re-verifies
+    every candidate with exact byte compares, so nothing here is
+    correctness-critical — garbage candidates only cost ratio.
+    """
+    pad = u8.shape[0]
+    pos = jnp.arange(pad, dtype=jnp.int32)
+    u = u8.astype(jnp.uint32)
+    w4 = u | (_shift_read(u, 1) << 8) | (_shift_read(u, 2) << 16) | (
+        _shift_read(u, 3) << 24
+    )
+    sw, sp = jax.lax.sort((w4, pos.astype(jnp.uint32)), num_keys=2)
+    spi = sp.astype(jnp.int32)
+    ds = []
+    for j in range(1, 5):
+        same = jnp.concatenate([jnp.zeros(j, bool), sw[j:] == sw[:-j]])
+        prev = jnp.concatenate([jnp.zeros(j, jnp.int32), spi[:-j]])
+        delta = spi - prev
+        ds.append(
+            jnp.where(same & (delta <= 65535), delta, 0).astype(jnp.uint32)
+        )
+    d12 = jnp.zeros(pad, jnp.uint32).at[spi].set(ds[0] | (ds[1] << 16))
+    d34 = jnp.zeros(pad, jnp.uint32).at[spi].set(ds[2] | (ds[3] << 16))
+    return d12, d34
+
+
+_candidates_kernel = jax.jit(candidates_core)
+_candidates_batch = jax.jit(jax.vmap(candidates_core))
+
+
 def encode_chunk_core(u8, words, d, n, *, levels, comp_pad, nseq_pad):
     """Single-chunk encode (match + final literal record + emission) as one
     traceable function, chunk-local coordinates — the per-frame-block kernel
@@ -375,6 +410,102 @@ def _as_u8(data) -> np.ndarray:
 
 def _levels_for(pad: int) -> int:
     return min(14 if pad <= (1 << 20) else 12, max(2, (pad - 1).bit_length()))
+
+
+def _hybrid_lib():
+    import ctypes
+
+    from .. import native as _native
+
+    lib = _native._lib()
+    if not hasattr(lib.tlz4_compress_with_candidates, "_tlz4_configured"):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.tlz4_compress_with_candidates.restype = ctypes.c_int64
+        lib.tlz4_compress_with_candidates.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            u32p, u32p,
+            i64p, i32p, ctypes.c_int32, ctypes.c_int64,
+            u8p, ctypes.c_int64,
+        ]
+        lib.tlz4_compress_with_candidates._tlz4_configured = True
+    return lib
+
+
+def compress_block_hybrid(data, ext_dict=b"") -> bytes:
+    """Compress one raw LZ4 block: device candidate search + host walk.
+
+    The production encode shape (the encode mirror of the ring decoder's
+    host-plan/device-kernel split): the TPU finds the 4 closest previous
+    occurrences of every position's word — exact, via sort, the part that is
+    data-parallel-heavy — and the native host walk turns them into wire
+    bytes with exact extension (tlz4_compress_with_candidates). Because the
+    host re-verifies every candidate byte-exactly, the output is spec-valid
+    by construction — no fingerprint-collision verify pass is needed (the
+    reference's always-valid-output guarantee,
+    /root/reference/src/block/compress.rs:318-489).
+
+    The walk is global over the chunk grid, so matches cross chunk
+    boundaries (slightly better ratio than the all-device kernel's
+    per-chunk truncation).
+    """
+    import ctypes
+
+    src = _as_u8(data)
+    dic = _as_u8(ext_dict)[-WINDOW_SIZE:]
+    dlen = int(dic.shape[0])
+    n_data = int(src.shape[0])
+    if n_data == 0:
+        return bytes([0x00])
+    G = np.concatenate([dic, src]) if dlen else src
+    g_len = G.shape[0]
+
+    if g_len + 4 <= _CHUNK_W:
+        pad = packing.size_bucket(max(g_len + 4, 8))
+        d12, d34 = _candidates_kernel(jnp.asarray(packing.pad_to(G, pad)))
+        d12 = np.asarray(d12)[None]
+        d34 = np.asarray(d34)[None]
+        gstart = np.zeros(1, np.int64)
+        dvec = np.array([dlen], np.int32)
+        nrows = 1
+    else:
+        nrows = -(-n_data // _CHUNK_C)
+        brows = _row_bucket(nrows)
+        rows_np = np.zeros((brows, _CHUNK_W), np.uint8)
+        gstart = np.zeros(brows, np.int64)
+        dvec = np.zeros(brows, np.int32)
+        for i in range(nrows):
+            base = i * _CHUNK_C
+            gs = 0 if i == 0 else dlen + max(0, base - WINDOW_SIZE)
+            chunk = G[gs : min(g_len, dlen + base + _CHUNK_C)]
+            rows_np[i, : chunk.shape[0]] = chunk
+            gstart[i] = gs
+            dvec[i] = (dlen + base) - gs
+        d12, d34 = _candidates_batch(jnp.asarray(rows_np))
+        d12 = np.ascontiguousarray(np.asarray(d12))
+        d34 = np.ascontiguousarray(np.asarray(d34))
+        pad = _CHUNK_W
+
+    cap = get_maximum_output_size(n_data)
+    out = np.empty(cap, np.uint8)
+    lib = _hybrid_lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.tlz4_compress_with_candidates(
+        G.ctypes.data_as(u8p), g_len, dlen,
+        d12.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        d34.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        gstart.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dvec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nrows, pad,
+        out.ctypes.data_as(u8p), cap,
+    )
+    if rc < 0:
+        from ..block.errors import CompressOutputTooSmall
+
+        raise CompressOutputTooSmall(cap)
+    return out[: int(rc)].tobytes()
 
 
 def compress_block_device(

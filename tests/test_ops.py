@@ -188,3 +188,76 @@ def test_encode_spec_conformant_tail():
     m = seq.match_len > 0
     assert (ends[m] <= len(data) - 5).all()
     assert (starts[m] <= len(data) - 12).all()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid encoder: device exact candidate search + native host walk
+# (production encode shape; /root/reference/src/block/compress.rs:318-489
+# capability via a TPU-first split instead of a hash-table scan)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_hybrid_roundtrip_corpus(corpus_set):
+    from lz4_flex_tpu.ops import compress_block_hybrid
+
+    for name, data in corpus_set.items():
+        comp = compress_block_hybrid(data)
+        assert block.decompress(comp, len(data)) == data, name
+        assert decode_block_device(comp, len(data)) == data, name
+
+
+def test_encode_hybrid_ratio_gates(corpus_34k, corpus_65k, corpus_66k_json):
+    from lz4_flex_tpu.ops import compress_block_hybrid
+
+    gates = [(corpus_34k, 0.585), (corpus_65k, 0.574), (corpus_66k_json, 0.229)]
+    for data, gate in gates:
+        comp = compress_block_hybrid(data)
+        assert len(comp) / len(data) < gate
+
+
+def test_encode_hybrid_beats_native_table(corpus_set):
+    # Exact 4-closest candidates + lazy + global walk should never lose to
+    # the 4096-entry hash-table host engine.
+    from lz4_flex_tpu.ops import compress_block_hybrid
+
+    for name, data in corpus_set.items():
+        if len(data) < 1024:
+            continue
+        hyb = len(compress_block_hybrid(data))
+        host = len(block.compress(data))
+        assert hyb <= host, (name, hyb, host)
+
+
+def test_encode_hybrid_with_dict(corpus_65k):
+    from lz4_flex_tpu.ops import compress_block_hybrid
+
+    d = corpus_65k[:4096]
+    tail = corpus_65k[4096:]
+    comp = compress_block_hybrid(tail, ext_dict=d)
+    assert block.decompress_with_dict(comp, len(tail), d) == tail
+    assert len(comp) < len(compress_block_hybrid(tail))
+
+
+def test_encode_hybrid_multichunk_crossing():
+    # Input wider than one device chunk row: the host walk is global, so
+    # matches crossing the chunk boundary must still roundtrip and the
+    # window carried into row 2 must let its start reference row-1 bytes.
+    from lz4_flex_tpu.ops import compress_block_hybrid
+    from lz4_flex_tpu.ops.encode import _CHUNK_C
+
+    rng = np.random.default_rng(7)
+    words = [bytes(rng.integers(97, 123, rng.integers(3, 9))) for _ in range(500)]
+    data = b" ".join(words[rng.integers(0, 500)] for _ in range(_CHUNK_C // 4))
+    data = data[: _CHUNK_C + 70000]
+    comp = compress_block_hybrid(data)
+    assert block.decompress(comp, len(data)) == data
+    assert len(comp) < len(data) // 2
+
+
+def test_encode_hybrid_small_and_incompressible():
+    from lz4_flex_tpu.ops import compress_block_hybrid
+
+    rng = np.random.default_rng(3)
+    for data in [b"", b"a", b"abcd" * 4, bytes(rng.integers(0, 256, 4096))]:
+        comp = compress_block_hybrid(data)
+        assert block.decompress(comp, len(data)) == data
