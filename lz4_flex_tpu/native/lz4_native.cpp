@@ -1169,3 +1169,82 @@ TLZ4_API int64_t tlz4_compress_with_candidates(
     }
     return op;
 }
+
+// Streaming variant: one 2:1 max-pooled u16 best-delta plane per chunk row
+// (device-selected best-of-4 with capped exact scoring — ops/encode.py
+// best_plane_core; plane[i] covers row-local positions 2i and 2i+1), the
+// walk resumable per row so row i's walk overlaps row i+1's device->host
+// transfer. state = {p, lit_start, op}; emits sequences whose cursor starts
+// in [state->p, row_limit), final_row==1 appends the spec last-literals run.
+// Every plane value is re-verified against G with exact byte compares, so
+// stale/garbage plane slots (row padding, the pooled neighbor's delta, lazy
+// probe past the data region) are ratio-only, never correctness.
+TLZ4_API int64_t tlz4_hybrid_walk_row(
+    const uint8_t* G, int64_t g_len,
+    const uint16_t* plane, int64_t row_gstart, int64_t row_limit,
+    int64_t plane_len, int64_t* state, uint8_t* out, int64_t out_cap,
+    int32_t final_row)
+{
+    const int64_t n = g_len;
+    int64_t p = state[0];
+    int64_t lit_start = state[1];
+    int64_t op = state[2];
+
+    auto write_lsic = [&](int64_t v) {
+        while (v >= 255) { out[op++] = 255; v -= 255; }
+        out[op++] = (uint8_t)v;
+    };
+    auto probe = [&](int64_t q, uint32_t* d_out) -> int64_t {
+        int64_t pl = (q - row_gstart) >> 1;
+        if (q < row_gstart || pl >= plane_len) return 0;
+        uint32_t d = plane[pl];
+        if (!d || (int64_t)d > q) return 0;
+        int64_t l = hybrid_match_len(G, q, q - (int64_t)d, n - 5 - q);
+        if (l < (int64_t)MINMATCH) return 0;
+        *d_out = d;
+        return l;
+    };
+
+    while (p + (int64_t)MFLIMIT <= n && p < row_limit) {
+        uint32_t bd;
+        int64_t l = probe(p, &bd);
+        if (!l) { p++; continue; }
+        if (p + (int64_t)MFLIMIT + 1 <= n) {
+            uint32_t bd2;
+            int64_t l2 = probe(p + 1, &bd2);
+            if (l2 > l) { p++; continue; }
+        }
+        int64_t c = p - (int64_t)bd;
+        int64_t b = 0;
+        while (p - b > lit_start && c - b > 0 && G[p - b - 1] == G[c - b - 1])
+            b++;
+        int64_t ll = (p - b) - lit_start;
+        int64_t mlc = l + b - (int64_t)MINMATCH;
+        if (op + 1 + ll / 255 + 1 + ll + 2 + mlc / 255 + 1 > out_cap)
+            return -1;
+        out[op++] = (uint8_t)((ll < 15 ? ll : 15) << 4
+                              | (mlc < 15 ? mlc : 15));
+        if (ll >= 15) write_lsic(ll - 15);
+        std::memcpy(out + op, G + lit_start, (size_t)ll);
+        op += ll;
+        store16(out + op, (uint16_t)bd);
+        op += 2;
+        if (mlc >= 15) write_lsic(mlc - 15);
+        p += l;
+        lit_start = p;
+    }
+    if (final_row) {
+        int64_t ll = n - lit_start;
+        if (op + 1 + ll / 255 + 1 + ll > out_cap) return -1;
+        out[op++] = (uint8_t)((ll < 15 ? ll : 15) << 4);
+        if (ll >= 15) write_lsic(ll - 15);
+        std::memcpy(out + op, G + lit_start, (size_t)ll);
+        op += ll;
+        lit_start = n;
+        p = n;
+    }
+    state[0] = p;
+    state[1] = lit_start;
+    state[2] = op;
+    return op;
+}

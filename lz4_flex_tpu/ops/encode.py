@@ -316,6 +316,70 @@ _candidates_kernel = jax.jit(candidates_core)
 _candidates_batch = jax.jit(jax.vmap(candidates_core))
 
 
+def best_plane_core(u8):
+    """Stage 1 + on-device selection for the streaming hybrid encoder: the
+    best of the 4 closest previous occurrences of each position's word,
+    2:1 max-pooled to one u16 back-distance per position *pair* (0 = none).
+
+    TPU-shaped throughout: candidate scoring (a capped exact extension —
+    4/8/12 bytes) needs the words at cand+4/cand+8, which would be random
+    gathers (slow on XLA:TPU); instead the +4/+8-shifted word planes ride
+    through the sort as payloads, so scoring is pure sorted-domain shifts
+    and compares. The host walk probes both positions of a pair with the
+    pooled delta and re-extends exactly, so pooling and the score cap only
+    affect *which* match is chosen, never correctness — and the pooled
+    plane halves the device->host transfer that dominates the pipeline.
+    """
+    pad = u8.shape[0]
+    pos = jnp.arange(pad, dtype=jnp.int32)
+    u = u8.astype(jnp.uint32)
+    w4 = u | (_shift_read(u, 1) << 8) | (_shift_read(u, 2) << 16) | (
+        _shift_read(u, 3) << 24
+    )
+    w4p4 = _shift_read(w4, 4)
+    w4p8 = _shift_read(w4, 8)
+    sw, sp, s4, s8 = jax.lax.sort(
+        (w4, pos.astype(jnp.uint32), w4p4, w4p8), num_keys=2
+    )
+    spi = sp.astype(jnp.int32)
+    best_score = jnp.zeros(pad, jnp.int32)
+    best_delta = jnp.zeros(pad, jnp.int32)
+    for j in range(1, 5):
+        same = jnp.concatenate([jnp.zeros(j, bool), sw[j:] == sw[:-j]])
+        prev = jnp.concatenate([jnp.zeros(j, jnp.int32), spi[:-j]])
+        c4 = jnp.concatenate([jnp.zeros(j, jnp.uint32), s4[:-j]])
+        c8 = jnp.concatenate([jnp.zeros(j, jnp.uint32), s8[:-j]])
+        delta = spi - prev
+        ok = same & (delta <= 65535)
+        e1 = (c4 == s4).astype(jnp.int32)
+        e2 = ((c8 == s8) & (c4 == s4)).astype(jnp.int32)
+        score = jnp.where(ok, 4 + 4 * e1 + 4 * e2, 0)
+        take = score > best_score  # strict: closest-first order keeps ties
+        best_score = jnp.where(take, score, best_score)
+        best_delta = jnp.where(take, delta, best_delta)
+    dplane = jnp.zeros(pad, jnp.int32).at[spi].set(best_delta)
+    splane = jnp.zeros(pad, jnp.int32).at[spi].set(best_score)
+    d2 = dplane.reshape(pad // 2, 2)
+    s2 = splane.reshape(pad // 2, 2)
+    win = jnp.where(s2[:, 1] > s2[:, 0], d2[:, 1], d2[:, 0])
+    return win.astype(jnp.uint16)
+
+
+@jax.jit
+def _best_plane_quad(gpad, starts4):
+    """Four chunk rows' pooled planes in one launch, rows built on-device
+    by slicing the resident stream — the only h2d is the stream itself,
+    and each d2h RPC carries 4 rows so transfer overlaps later quads'
+    compute via the prefetch thread."""
+
+    def one(start):
+        return best_plane_core(
+            jax.lax.dynamic_slice(gpad, (start,), (_CHUNK_W,))
+        )
+
+    return jax.vmap(one)(starts4)
+
+
 def encode_chunk_core(u8, words, d, n, *, levels, comp_pad, nseq_pad):
     """Single-chunk encode (match + final literal record + emission) as one
     traceable function, chunk-local coordinates — the per-frame-block kernel
@@ -420,6 +484,7 @@ def _hybrid_lib():
     lib = _native._lib()
     if not hasattr(lib.tlz4_compress_with_candidates, "_tlz4_configured"):
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -431,6 +496,12 @@ def _hybrid_lib():
             u8p, ctypes.c_int64,
         ]
         lib.tlz4_compress_with_candidates._tlz4_configured = True
+        lib.tlz4_hybrid_walk_row.restype = ctypes.c_int64
+        lib.tlz4_hybrid_walk_row.argtypes = [
+            u8p, ctypes.c_int64,
+            u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, u8p, ctypes.c_int64, ctypes.c_int32,
+        ]
     return lib
 
 
@@ -462,31 +533,16 @@ def compress_block_hybrid(data, ext_dict=b"") -> bytes:
     G = np.concatenate([dic, src]) if dlen else src
     g_len = G.shape[0]
 
-    if g_len + 4 <= _CHUNK_W:
-        pad = packing.size_bucket(max(g_len + 4, 8))
-        d12, d34 = _candidates_kernel(jnp.asarray(packing.pad_to(G, pad)))
-        d12 = np.asarray(d12)[None]
-        d34 = np.asarray(d34)[None]
-        gstart = np.zeros(1, np.int64)
-        dvec = np.array([dlen], np.int32)
-        nrows = 1
-    else:
-        nrows = -(-n_data // _CHUNK_C)
-        brows = _row_bucket(nrows)
-        rows_np = np.zeros((brows, _CHUNK_W), np.uint8)
-        gstart = np.zeros(brows, np.int64)
-        dvec = np.zeros(brows, np.int32)
-        for i in range(nrows):
-            base = i * _CHUNK_C
-            gs = 0 if i == 0 else dlen + max(0, base - WINDOW_SIZE)
-            chunk = G[gs : min(g_len, dlen + base + _CHUNK_C)]
-            rows_np[i, : chunk.shape[0]] = chunk
-            gstart[i] = gs
-            dvec[i] = (dlen + base) - gs
-        d12, d34 = _candidates_batch(jnp.asarray(rows_np))
-        d12 = np.ascontiguousarray(np.asarray(d12))
-        d34 = np.ascontiguousarray(np.asarray(d34))
-        pad = _CHUNK_W
+    if g_len + 4 > _CHUNK_W:
+        return _compress_hybrid_streaming(G, g_len, dlen, n_data)
+
+    pad = packing.size_bucket(max(g_len + 4, 8))
+    d12, d34 = _candidates_kernel(jnp.asarray(packing.pad_to(G, pad)))
+    d12 = np.asarray(d12)[None]
+    d34 = np.asarray(d34)[None]
+    gstart = np.zeros(1, np.int64)
+    dvec = np.array([dlen], np.int32)
+    nrows = 1
 
     cap = get_maximum_output_size(n_data)
     out = np.empty(cap, np.uint8)
@@ -501,6 +557,66 @@ def compress_block_hybrid(data, ext_dict=b"") -> bytes:
         nrows, pad,
         out.ctypes.data_as(u8p), cap,
     )
+    if rc < 0:
+        from ..block.errors import CompressOutputTooSmall
+
+        raise CompressOutputTooSmall(cap)
+    return out[: int(rc)].tobytes()
+
+
+def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
+    """Multi-chunk hybrid encode, pipelined: the stream uploads once, each
+    chunk row's u16 best-delta plane is computed on-device and pulled back
+    row by row, and the native resumable walk consumes row i while row
+    i+1's transfer and row i+2's kernel run — steady state is the d2h
+    plane transfer (2 B/input byte), not the sum of the stages."""
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    bucket = packing.size_bucket(g_len + 8)
+    gpad = jnp.asarray(packing.pad_to(G, bucket))
+    nrows = -(-n_data // _CHUNK_C)
+    starts, limits = [], []
+    for i in range(nrows):
+        base = i * _CHUNK_C
+        s = 0 if i == 0 else dlen + base - WINDOW_SIZE
+        starts.append(min(s, bucket - _CHUNK_W))
+        limits.append(dlen + min(base + _CHUNK_C, n_data))
+    nquads = -(-nrows // 4)
+    qstarts = np.array(
+        starts + [starts[-1]] * (4 * nquads - nrows), np.int32
+    ).reshape(nquads, 4)
+    quads = [_best_plane_quad(gpad, jnp.asarray(q)) for q in qstarts]
+
+    cap = get_maximum_output_size(n_data)
+    out = np.empty(cap, np.uint8)
+    state = np.zeros(3, np.int64)
+    state[0] = state[1] = dlen
+    lib = _hybrid_lib()
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = 0
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(np.asarray, quads[0])
+        for q in range(nquads):
+            quad = fut.result()
+            if q + 1 < nquads:
+                fut = ex.submit(np.asarray, quads[q + 1])
+            for i in range(4 * q, min(4 * q + 4, nrows)):
+                plane = np.ascontiguousarray(quad[i - 4 * q])
+                rc = lib.tlz4_hybrid_walk_row(
+                    G.ctypes.data_as(u8p), g_len,
+                    plane.ctypes.data_as(u16p),
+                    starts[i], limits[i], _CHUNK_W // 2,
+                    state.ctypes.data_as(i64p),
+                    out.ctypes.data_as(u8p), cap,
+                    1 if i == nrows - 1 else 0,
+                )
+                if rc < 0:
+                    break
+            if rc < 0:
+                break
     if rc < 0:
         from ..block.errors import CompressOutputTooSmall
 
