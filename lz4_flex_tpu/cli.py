@@ -8,8 +8,8 @@ file is given, and a compression-ratio report.
 
 Extensions: `--mode linked`, `--block-size`, `--block-checksums`,
 `--content-checksum`, `--legacy` expose the frame options; `--engine device`
-runs the one-shot TPU codec instead of the streaming host runtime; decode
-drains all concatenated frames.
+streams through the TPU codec (buffered blocks batched per device dispatch)
+instead of the native host runtime; decode drains all concatenated frames.
 
 Usage: python -m lz4_flex_tpu.cli [options] [file]
 """
@@ -55,16 +55,13 @@ class _TrackWriteSize:
 
 
 def _copy_compress(src, dst, frame_info: FrameInfo, engine: str = "host") -> tuple[int, int]:
-    """Compress src stream into dst stream; returns (input_size, output_size)."""
-    if engine == "device":
-        from .frame.device import compress_frame_device
+    """Compress src stream into dst stream; returns (input_size, output_size).
 
-        data = src.read()
-        out = compress_frame_device(data, frame_info)
-        dst.write(out)
-        return len(data), len(out)
+    Both engines stream: "host" drives the native runtime block-by-block,
+    "device" batches buffered blocks through the sharded TPU pipeline
+    (FrameEncoder(engine="device")) without slurping the input."""
     tracker = _TrackWriteSize(dst)
-    enc = FrameEncoder(tracker, frame_info)
+    enc = FrameEncoder(tracker, frame_info, engine=engine)
     total = 0
     while True:
         chunk = src.read(_COPY_CHUNK)
@@ -77,13 +74,7 @@ def _copy_compress(src, dst, frame_info: FrameInfo, engine: str = "host") -> tup
 
 
 def _copy_decompress(src, dst, engine: str = "host") -> int:
-    if engine == "device":
-        from .frame.device import decompress_frame_device
-
-        out = decompress_frame_device(src.read())
-        dst.write(out)
-        return len(out)
-    dec = FrameDecoder(src)
+    dec = FrameDecoder(src, engine=engine)
     total = 0
     while True:
         chunk = dec.read(_COPY_CHUNK)
@@ -163,7 +154,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["host", "device"],
         default="host",
         help="codec engine: 'host' (streaming native runtime) or 'device' "
-        "(one-shot TPU kernels via the mesh pipeline)",
+        "(streaming TPU kernels via the mesh pipeline)",
     )
     args = parser.parse_args(argv)
 

@@ -10,6 +10,12 @@ frame and a subsequent ``read`` resumes with the next concatenated frame.
 Extension over the reference: within a legacy frame, a magic-number word in
 block position starts the next frame (matching the C lz4 CLI) instead of
 erroring, and ``read_all()`` drains every concatenated frame at once.
+
+Two block engines serve the same io.Read surface: ``engine="host"``
+(default) decodes block-by-block on the native runtime; ``engine="device"``
+greedily batches blocks and decodes each batch in one device dispatch (ring
+kernel with fused-expansion fallback), carrying the linked-mode window as a
+stored pseudo-block between batches.
 """
 
 from __future__ import annotations
@@ -54,8 +60,15 @@ def _is_any_magic(word: int) -> bool:
 class FrameDecoder(io.RawIOBase):
     """A reader decompressing an LZ4 frame from an underlying stream."""
 
-    def __init__(self, r) -> None:
+    #: device engine: max blocks batched per dispatch and the payload-bytes
+    #: budget that bounds read-ahead memory (8 MiB ≈ one legacy block).
+    DEVICE_BATCH_BLOCKS = 32
+    DEVICE_BATCH_BYTES = 8 * 1024 * 1024
+
+    def __init__(self, r, *, engine: str = "host", mesh=None) -> None:
         super().__init__()
+        if engine not in ("host", "device"):
+            raise ValueError(f"unknown engine {engine!r}")
         self._r = r
         self._pushback = b""  # bytes read ahead of the current position
         self._frame_info: FrameInfo | None = None
@@ -64,6 +77,8 @@ class FrameDecoder(io.RawIOBase):
         self._window = b""
         self._out = b""
         self._out_pos = 0
+        self._engine = engine
+        self._mesh = mesh
 
     # -- accessors ------------------------------------------------------------
 
@@ -158,9 +173,97 @@ class FrameDecoder(io.RawIOBase):
                 raise errors.ContentChecksumError()
         self._frame_info = None
 
+    # -- device engine ---------------------------------------------------------
+
+    def _decode_parts_device(self, parts, max_block_size: int) -> bytes:
+        """Decode a batch of frame blocks on the device. Linked-mode batches
+        prepend the carried 64 KiB window as a stored pseudo-block, so window
+        back-references are plain positions in the fused global expansion
+        (ops.decode.decode_parts_fused) and the result is sliced off."""
+        from ..ops.decode import decode_parts_fused
+        from ..ops.ringdecode import decode_parts_ring
+
+        fi = self._frame_info
+        independent = fi.legacy_frame or fi.block_mode == BlockMode.Independent
+        window = b"" if independent else self._window
+        full = list(parts)
+        if window:
+            full.insert(0, (window, False))
+        cap = max(max_block_size, len(window))
+        try:
+            out = decode_parts_ring(
+                full, independent=independent, max_block_size=cap
+            )
+            if out is None:
+                out = decode_parts_fused(
+                    full, independent=independent, max_block_size=cap
+                )
+        except DecompressError as e:
+            raise errors.DecompressionError(e) from e
+        return out[len(window) :]
+
+    def _read_blocks_device(self) -> int:
+        """Device-engine block read: greedily collect a batch of blocks (up
+        to DEVICE_BATCH_BLOCKS / DEVICE_BATCH_BYTES, stopping early at the
+        frame end), decode them in one device dispatch, and emit the batch as
+        the current output span. Wire-format handling (BlockInfo words,
+        checksums, end marks, legacy magic boundaries) is identical to the
+        host path; only the block decompression is batched."""
+        fi = self._frame_info
+        max_block_size = fi.block_size.get_size()
+        parts: list[tuple[bytes, bool]] = []
+        total = 0
+
+        while len(parts) < self.DEVICE_BATCH_BLOCKS and total <= self.DEVICE_BATCH_BYTES:
+            word_bytes = self._read_upto(4)
+            if len(word_bytes) == 0:
+                if parts:
+                    break  # decode what we have; EOF surfaces next call
+                self._frame_info = None
+                return 0
+            if len(word_bytes) < 4:
+                word_bytes += self._read_exact(4 - len(word_bytes))
+
+            if fi.legacy_frame:
+                (word,) = struct.unpack("<I", word_bytes)
+                if _is_any_magic(word):
+                    self._pushback = word_bytes + self._pushback
+                    if parts:
+                        break
+                    self._frame_info = None
+                    return 0
+                if word > 16 + 4 + (8 * 1024 * 1024 * 110) // 100:
+                    raise errors.BlockTooBig()
+                comp = self._read_exact(word)
+                parts.append((comp, True))
+                total += word
+                continue
+
+            info = BlockInfo.read(word_bytes)
+            if info.kind is BlockInfoKind.EndMark:
+                if parts:
+                    # Decode the batch first; re-see the end mark next call.
+                    self._pushback = word_bytes + self._pushback
+                    break
+                self._end_of_frame()
+                return 0
+            if info.size > max_block_size:
+                raise errors.BlockTooBig()
+            payload = self._read_exact(info.size)
+            if fi.block_checksums:
+                self._check_block_checksum(payload)
+            parts.append((payload, info.kind is BlockInfoKind.Compressed))
+            total += info.size
+
+        out = self._decode_parts_device(parts, max_block_size)
+        self._append_output(out)
+        return len(out)
+
     def _read_block(self) -> int:
         """Decode the next block into the output buffer. Returns its size
         (0 = end of frame or stream)."""
+        if self._engine == "device":
+            return self._read_blocks_device()
         fi = self._frame_info
         max_block_size = fi.block_size.get_size()
 

@@ -8,9 +8,13 @@ content-size validation, multi-frame reuse of one encoder, and a
 finish-on-drop wrapper. As an extension over the reference, the legacy frame
 format can be *written* as well as read.
 
-The block engine is the native host runtime; the hash table is carried across
-blocks of a frame with 64-bit logical stream positions (which removes the
-reference's u32 `reposition` wrap handling by construction).
+Two block engines serve the same io.Write surface: ``engine="host"``
+(default) drives the native runtime block-by-block, the hash table carried
+across blocks with 64-bit logical stream positions (which removes the
+reference's u32 `reposition` wrap handling by construction);
+``engine="device"`` batches buffered blocks — one block per mesh device —
+through the sharded TPU encode pipeline (parallel.pipeline), so streaming
+compression runs on the device without slurping the input.
 """
 
 from __future__ import annotations
@@ -43,7 +47,16 @@ class FrameEncoder:
     context manager (which finishes on exit).
     """
 
-    def __init__(self, w, frame_info: FrameInfo | None = None) -> None:
+    def __init__(
+        self,
+        w,
+        frame_info: FrameInfo | None = None,
+        *,
+        engine: str = "host",
+        mesh=None,
+    ) -> None:
+        if engine not in ("host", "device"):
+            raise ValueError(f"unknown engine {engine!r}")
         self._w = w
         self._frame_info = frame_info if frame_info is not None else FrameInfo()
         self._is_frame_open = False
@@ -54,6 +67,9 @@ class FrameEncoder:
         self._window = b""
         self._table = _native.new_table() if _HAVE_NATIVE else None
         self._finished = False
+        self._engine = engine
+        self._mesh = mesh
+        self._device_batch: int | None = None  # blocks per device dispatch
 
     # -- accessors ----------------------------------------------------------
 
@@ -173,6 +189,68 @@ class FrameEncoder:
         if self._frame_info.block_mode == BlockMode.Linked:
             self._window = (self._window + block)[-WINDOW_SIZE:]
 
+    # -- device engine ---------------------------------------------------------
+
+    def _device_batch_blocks(self) -> int:
+        """Blocks per device dispatch: one mesh row per device, so every
+        dispatch (including the final partial batch) pads to the same
+        (ndev, width) kernel shape and compiles once."""
+        if self._device_batch is None:
+            if self._mesh is not None:
+                self._device_batch = int(self._mesh.devices.size)
+            else:
+                from ..parallel.mesh import codec_mesh
+
+                self._mesh = codec_mesh()
+                self._device_batch = int(self._mesh.devices.size)
+        return self._device_batch
+
+    def _write_device_blocks(self, *, all_pending: bool) -> None:
+        """Compress buffered full blocks (all buffered bytes when
+        ``all_pending``) through the sharded device pipeline and write them
+        in frame order — the TPU path serving the streaming io.Write surface
+        (reference capability: src/frame/compress.rs:374-404)."""
+        from ..parallel.pipeline import encode_blocks_sharded
+
+        fi = self._frame_info
+        bs = fi.block_size.get_size()
+        if all_pending:
+            take = len(self._pending)
+        else:
+            # Exactly one ndev-block batch per dispatch: constant kernel shape.
+            take = min(len(self._pending) // bs, self._device_batch_blocks()) * bs
+        if take == 0:
+            return
+        chunk = bytes(self._pending[:take])
+        del self._pending[:take]
+        linked = fi.block_mode == BlockMode.Linked and not fi.legacy_frame
+        payloads, lens = encode_blocks_sharded(
+            chunk, bs, linked=linked, mesh=self._mesh, carry=self._window
+        )
+        pos = 0
+        for comp, blen in zip(payloads, lens):
+            raw = chunk[pos : pos + blen]
+            pos += blen
+            self._content_len += blen
+            if fi.legacy_frame:
+                self._w.write(struct.pack("<I", len(comp)))
+                self._w.write(comp)
+            else:
+                if len(comp) < blen:
+                    info, payload = BlockInfo(BlockInfoKind.Compressed, len(comp)), comp
+                else:
+                    info, payload = BlockInfo(BlockInfoKind.Uncompressed, blen), raw
+                self._w.write(info.write())
+                self._w.write(payload)
+                if fi.block_checksums:
+                    self._w.write(struct.pack("<I", xxh32(payload, 0)))
+                if fi.content_checksum:
+                    self._content_hasher.write(raw)
+            if linked:
+                self._window = (
+                    (self._window + raw) if blen < WINDOW_SIZE else raw
+                )[-WINDOW_SIZE:]
+
     # -- io.Write surface -----------------------------------------------------
 
     def write(self, buf) -> int:
@@ -181,6 +259,11 @@ class FrameEncoder:
             self._begin_frame(len(buf))
         self._pending += buf
         max_block_size = self._frame_info.block_size.get_size()
+        if self._engine == "device":
+            batch = self._device_batch_blocks() * max_block_size
+            while len(self._pending) >= batch:
+                self._write_device_blocks(all_pending=False)
+            return len(buf)
         while len(self._pending) >= max_block_size:
             self._write_block()
         return len(buf)
@@ -188,7 +271,16 @@ class FrameEncoder:
     def flush(self) -> None:
         """Force-compress any buffered bytes into a (possibly short) block."""
         if self._pending:
-            self._write_block()
+            if self._engine == "device":
+                batch = (
+                    self._device_batch_blocks()
+                    * self._frame_info.block_size.get_size()
+                )
+                while len(self._pending) >= batch:
+                    self._write_device_blocks(all_pending=False)
+                self._write_device_blocks(all_pending=True)
+            else:
+                self._write_block()
         if hasattr(self._w, "flush"):
             self._w.flush()
 

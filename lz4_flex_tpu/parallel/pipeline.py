@@ -42,16 +42,25 @@ P = jax.sharding.PartitionSpec
 # ---------------------------------------------------------------------------
 
 
-def stage_blocks(data, block_size: int, *, linked: bool = False, pad_rows_to: int = 1):
-    """Split ``data`` into frame blocks staged as a dense (B, D+S) uint8
-    array plus per-block (dict_len, total_len) vectors.
+def stage_blocks(
+    data,
+    block_size: int,
+    *,
+    linked: bool = False,
+    pad_rows_to: int = 1,
+    start: int = 0,
+):
+    """Split ``data[start:]`` into frame blocks staged as a dense (B, D+S)
+    uint8 array plus per-block (dict_len, total_len) vectors.
 
     In linked mode each row is prefixed with the previous 64 KiB of input
-    (its dictionary); row 0 has an empty dictionary. ``pad_rows_to`` pads the
-    batch with empty rows so B divides the mesh size.
+    (its dictionary); ``data[:start]`` is window context only (the carry from
+    blocks already written by a streaming encoder) — block 0's dictionary is
+    its tail. ``pad_rows_to`` pads the batch with empty rows so B divides the
+    mesh size.
     """
     buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
-    n = buf.shape[0]
+    n = buf.shape[0] - start
     nblocks = max(1, -(-n // block_size))
     b_pad = -(-nblocks // pad_rows_to) * pad_rows_to
     w = WINDOW_SIZE if linked else 0
@@ -60,10 +69,10 @@ def stage_blocks(data, block_size: int, *, linked: bool = False, pad_rows_to: in
     dlen = np.zeros(b_pad, dtype=np.int32)
     tlen = np.zeros(b_pad, dtype=np.int32)
     for i in range(nblocks):
-        start = i * block_size
-        blk = buf[start : start + block_size]
-        d = min(w, start)
-        rows[i, : d + blk.shape[0]] = buf[start - d : start + blk.shape[0]]
+        s = start + i * block_size
+        blk = buf[s : s + block_size]
+        d = min(w, s)
+        rows[i, : d + blk.shape[0]] = buf[s - d : s + blk.shape[0]]
         dlen[i] = d
         tlen[i] = d + blk.shape[0]
     return rows, dlen, tlen, nblocks
@@ -101,12 +110,21 @@ def _decode_batch(rows, clen, *, out_pad, nseq_pad, capacity=None):
 
 
 def encode_blocks_sharded(
-    data, block_size: int, *, linked: bool = False, mesh=None, verify: bool = True
+    data,
+    block_size: int,
+    *,
+    linked: bool = False,
+    mesh=None,
+    verify: bool = True,
+    carry: bytes = b"",
 ):
     """Compress ``data`` as frame blocks, data-parallel over the mesh.
 
     Returns (payloads: list[bytes], block_lens: list[int]) in frame order;
     the frame layer wraps them in BlockInfo words and checksums.
+
+    ``carry`` is the linked-mode window context preceding ``data`` (the tail
+    of blocks a streaming encoder already wrote) — at most 64 KiB is used.
 
     ``verify`` roundtrips every payload through the independent host decoder
     and re-encodes mismatching blocks with the host encoder — the guard
@@ -117,6 +135,8 @@ def encode_blocks_sharded(
     """
     from ..ops.encode import _CHUNK_C
 
+    carry = bytes(carry)[-WINDOW_SIZE:] if linked else b""
+
     if block_size > _CHUNK_C:
         # Blocks above the fixed chunk width use the host-orchestrated
         # chunked device encoder per block (keeps kernel shapes fixed).
@@ -124,7 +144,7 @@ def encode_blocks_sharded(
 
         buf = bytes(data)
         payloads, lens = [], []
-        window = b""
+        window = carry
         for pos in range(0, max(len(buf), 1), block_size):
             blk = buf[pos : pos + block_size]
             payloads.append(
@@ -134,14 +154,18 @@ def encode_blocks_sharded(
             )
             lens.append(len(blk))
             if linked:
-                window = blk[-WINDOW_SIZE:]
+                window = ((window + blk) if len(blk) < WINDOW_SIZE else blk)[
+                    -WINDOW_SIZE:
+                ]
         return payloads, lens
 
     if mesh is None:
         mesh = codec_mesh()
     ndev = mesh.devices.size
+    if carry:
+        data = carry + bytes(data)
     rows, dlen, tlen, nblocks = stage_blocks(
-        data, block_size, linked=linked, pad_rows_to=ndev
+        data, block_size, linked=linked, pad_rows_to=ndev, start=len(carry)
     )
     width = rows.shape[1]
     levels = min(12, max(2, (width - 1).bit_length()))
