@@ -14,19 +14,26 @@ its formats expose become first-class mesh programs here:
     global output position (ops.decode.decode_parts_fused).
 
 Communication rides jax.sharding + shard_map collectives; there is no
-custom transport.
+custom transport. Multi-host: ``distributed_init`` bootstraps the process
+group (jax.distributed), and the pipelines' payload/length gathers go
+through ``pipeline.fetch_global`` — an on-device all-gather to a replicated
+array with only addressable shards read back — so frame assembly survives a
+real N-process mesh (no host ever touches a non-addressable shard).
 """
 
-from .mesh import codec_mesh, local_codec_mesh
+from .mesh import codec_mesh, distributed_init, local_codec_mesh
 from .pipeline import (
     decode_blocks_sharded,
     encode_blocks_sharded,
+    fetch_global,
     roundtrip_step_sharded,
     stage_blocks,
 )
 
 __all__ = [
     "codec_mesh",
+    "distributed_init",
+    "fetch_global",
     "local_codec_mesh",
     "encode_blocks_sharded",
     "decode_blocks_sharded",

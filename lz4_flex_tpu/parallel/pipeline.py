@@ -38,6 +38,36 @@ P = jax.sharding.PartitionSpec
 
 
 # ---------------------------------------------------------------------------
+# Multi-process-safe fetches
+# ---------------------------------------------------------------------------
+
+
+def fetch_global(x, *, force_replicate: bool = False) -> np.ndarray:
+    """Fetch a (possibly cross-host-sharded) jax.Array's global value.
+
+    Single-process meshes read the array directly. On a multi-process mesh
+    the shards on other hosts are NOT addressable (``np.asarray`` raises), so
+    the array is first replicated with an on-device all-gather over its own
+    mesh — lengths and payloads ride ICI/DCN, the frame assembly then runs
+    identically on every host — and only addressable data is read back.
+    ``force_replicate`` takes the multi-process path even when everything is
+    addressable (the dryrun uses it to validate the N-host assembly path on a
+    virtual mesh).
+    """
+    if getattr(x, "is_fully_addressable", True) and not force_replicate:
+        return np.asarray(x)
+    sharding = x.sharding
+    mesh = getattr(sharding, "mesh", None)
+    if mesh is None:  # pragma: no cover - single-device arrays are addressable
+        return np.asarray(x)
+    replicated = jax.jit(
+        lambda a: a,
+        out_shardings=jax.sharding.NamedSharding(mesh, P()),
+    )(x)
+    return np.asarray(replicated.addressable_data(0))
+
+
+# ---------------------------------------------------------------------------
 # Host staging
 # ---------------------------------------------------------------------------
 
@@ -186,8 +216,8 @@ def encode_blocks_sharded(
     out, total = sharded(
         jnp.asarray(rows), jnp.asarray(words), jnp.asarray(dlen), jnp.asarray(tlen)
     )
-    out_h = np.asarray(out)
-    total_h = np.asarray(total)
+    out_h = fetch_global(out)
+    total_h = fetch_global(total)
     payloads = [out_h[i, : total_h[i]].tobytes() for i in range(nblocks)]
     lens = [int(tlen[i] - dlen[i]) for i in range(nblocks)]
     if verify:
@@ -306,8 +336,8 @@ def decode_blocks_sharded(payloads, block_size: int, *, mesh=None):
         shard_map(f, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec, spec))
     )
     out, total, errs = sharded(jnp.asarray(rows), jnp.asarray(clen))
-    errs_h = np.asarray(errs[:nblocks])
-    total_h = np.asarray(total)
+    errs_h = fetch_global(errs)[:nblocks]
+    total_h = fetch_global(total)
     if errs_h.any():
         from ..block import errors as block_errors
 
@@ -324,5 +354,5 @@ def decode_blocks_sharded(payloads, block_size: int, *, mesh=None):
         if flags[4]:
             raise block_errors.OutputTooSmall(int(total_h[bad]), block_size)
         raise block_errors.ExpectedAnotherByte()
-    out_h = np.asarray(out)
+    out_h = fetch_global(out)
     return [out_h[i, : total_h[i]].tobytes() for i in range(nblocks)]

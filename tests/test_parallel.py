@@ -210,3 +210,33 @@ def test_graft_entry():
     out, lens, errs = jax.jit(fn)(*args)
     assert not np.asarray(errs).any()
     g.dryrun_multichip(8)
+
+
+def test_fetch_global_forced_replication_matches_direct():
+    """The N-host assembly path (on-device all-gather to a replicated array,
+    addressable-data read) must produce the same bytes as the direct
+    single-process read — dryrun_multichip asserts the same on the driver's
+    virtual mesh."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from lz4_flex_tpu.parallel.mesh import BLOCK_AXIS
+    from lz4_flex_tpu.parallel.pipeline import fetch_global, shard_map
+
+    mesh = codec_mesh()
+    spec = jax.sharding.PartitionSpec(BLOCK_AXIS)
+    x = jnp.arange(8 * 16, dtype=jnp.int32).reshape(8, 16)
+    y = jax.jit(
+        shard_map(lambda a: a * 2, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    )(x)
+    np.testing.assert_array_equal(
+        fetch_global(y, force_replicate=True), fetch_global(y)
+    )
+
+
+def test_distributed_init_single_process_noop():
+    from lz4_flex_tpu.parallel.mesh import distributed_init
+
+    assert distributed_init() is False
+    assert distributed_init() is False  # idempotent
