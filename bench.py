@@ -158,9 +158,10 @@ def main() -> None:
         raise SystemExit("ring plan overflow on the bench corpus")
     arrs = ring_plan_device_arrays(plan, comp_np)
     arrs = [jnp.asarray(a) for a in arrs]
-    ntiles, nblk = arrs[0].shape[0], arrs[2].shape[0] // plan.lit_w
+    ntiles, nblk = arrs[0].shape[0], arrs[3].shape[0] // plan.lit_w
+    nf = arrs[4].shape[2]
     f_ring = lambda: ring_decode_jit(
-        *arrs, ntiles=ntiles, nblk=nblk
+        *arrs, ntiles=ntiles, nblk=nblk, nf=nf
     )
     t_kern = device_time(f_ring, sync=lambda r: r[:1, :1])
     t_plan = median_time(lambda: build_ring_plan(comp_np, n), iters=6)

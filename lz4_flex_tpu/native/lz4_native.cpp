@@ -12,6 +12,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdio>
+#include <cstdlib>
+#include <chrono>
 
 #define TLZ4_API extern "C" __attribute__((visibility("default")))
 
@@ -589,8 +592,9 @@ namespace {
 constexpr int32_t RING_MAX_DEPTH = 250;  // depth[] is uint8
 
 struct RingRec {
-    int32_t S;           // table-local byte address
+    int32_t S;           // class-local byte address (lit window / ring+tile)
     int16_t row;         // tile-local output row
+    uint8_t cls;         // 0 = literal (lit-window pull), 1 = match
     uint8_t d, ph, P, lo, len;  // len is the true length (1..128)
 };
 
@@ -601,11 +605,13 @@ struct RingSeq {
 };
 
 struct RingShared {
-    int32_t tile_rows, window_rows, smax, lit_w, ntiles;
+    int32_t tile_rows, window_rows, lit_w, ntiles;
+    int32_t rb, nfmax;   // records per fire, max fires per tile
     int32_t resolve_min_depth, resolve_runs;
     int64_t expected_out;
-    int32_t* plane_src; int32_t* plane_meta;
-    int32_t* nslots; int32_t* litblk;
+    int32_t* f0; int32_t* f1; int32_t* f2;  // (ntiles, rb, nfmax) records
+    int32_t* nf_lit; int32_t* nf_tot;       // per-tile fire counts
+    int32_t* litblk;
     uint8_t* depth;   // (expected_out) per-byte fire depth
     int32_t* origin;  // (expected_out) tile-local origin:
                       //   >= 0: comp position (literal byte)
@@ -620,42 +626,71 @@ struct RingTile {
     std::vector<RingRec> recs;
 };
 
-// Depth-grouped plane assignment for one finished tile.
+// Compact batched-fire packing for one finished tile: records sorted
+// [all literals][matches by depth asc], every group padded to a whole
+// RB-record fire so no fire mixes depth groups (a fire reads the table
+// once before its writes — intra-fire dependencies would break).
+// Record k of the stream lands at field arrays [t, k % RB, k / RB]: fire
+// j = k / RB consumes lane j across all RB sublanes.
 int ring_pack_tile(RingTile& c) {
     const RingShared& g = *c.g;
-    if (c.recs.empty()) { g.nslots[c.t] = 0; return 0; }
-    int32_t maxd = 0;
-    for (const auto& r : c.recs) if (r.d > maxd) maxd = r.d;
-    std::vector<int32_t> maxcnt((size_t)maxd + 1, 0);
-    std::vector<int32_t> cnt(((size_t)maxd + 1) * g.tile_rows, 0);
-    for (const auto& r : c.recs) {
-        int32_t& k = cnt[(size_t)r.d * g.tile_rows + r.row];
-        k++;
-        if (k > maxcnt[r.d]) maxcnt[r.d] = k;
+    const int64_t RB = g.rb;
+    const int64_t cap = RB * g.nfmax;
+    if (c.recs.empty()) {
+        g.nf_lit[c.t] = 0;
+        g.nf_tot[c.t] = 0;
+        std::memset(g.f0 + (int64_t)c.t * cap, 0, (size_t)cap * 4);
+        std::memset(g.f1 + (int64_t)c.t * cap, 0, (size_t)cap * 4);
+        std::memset(g.f2 + (int64_t)c.t * cap, 0, (size_t)cap * 4);
+        return 0;
     }
-    std::vector<int32_t> base((size_t)maxd + 2, 0);
-    for (int32_t d = 0; d <= maxd; d++) base[d + 1] = base[d] + maxcnt[d];
-    if (base[maxd + 1] > g.smax) return TLZ4_PLAN_OVF_SLOT;
-    g.nslots[c.t] = base[maxd + 1];
-    std::fill(cnt.begin(), cnt.end(), 0);
-    int64_t tbase = (int64_t)c.t * g.tile_rows * g.smax;
+    int32_t maxd = 0;
+    int64_t nlit = 0;
     for (const auto& r : c.recs) {
-        int32_t& k = cnt[(size_t)r.d * g.tile_rows + r.row];
-        int32_t plane = base[r.d] + k;
-        k++;
-        int64_t at = tbase + (int64_t)r.row * g.smax + plane;
-        g.plane_src[at] = r.S | ((int32_t)r.ph << 18);
-        g.plane_meta[at] = r.lo | ((int32_t)(r.len - 1) << 7)
-                           | ((int32_t)(r.P - 1) << 14) | (1 << 21);
+        if (r.cls == 0) nlit++;
+        else if (r.d > maxd) maxd = r.d;
+    }
+    // group 0 = literals, group 1+d = matches of depth d
+    std::vector<int64_t> cnt((size_t)maxd + 2, 0);
+    cnt[0] = nlit;
+    for (const auto& r : c.recs) if (r.cls) cnt[(size_t)r.d + 1]++;
+    std::vector<int64_t> base((size_t)maxd + 3, 0);
+    for (int32_t i = 0; i <= maxd + 1; i++)
+        base[i + 1] = base[i] + ((cnt[i] + RB - 1) / RB) * RB;
+    if (base[maxd + 2] > cap) return TLZ4_PLAN_OVF_SLOT;
+    g.nf_lit[c.t] = (int32_t)(base[1] / RB);
+    g.nf_tot[c.t] = (int32_t)(base[(size_t)maxd + 2] / RB);
+    const int64_t tbase = (int64_t)c.t * cap;
+    // The arrays arrive uninitialized (np.empty — zeroing 3 large arrays per
+    // call costs more than the build): make the whole tile slice
+    // deterministic, then stamp sentinel padding over the used region
+    // (row = tile_rows scatters nowhere, P = 128 keeps lane math benign).
+    std::memset(g.f0 + tbase, 0, (size_t)cap * 4);
+    std::memset(g.f1 + tbase, 0, (size_t)cap * 4);
+    std::memset(g.f2 + tbase, 0, (size_t)cap * 4);
+    for (int64_t k = 0; k < base[(size_t)maxd + 2]; k++) {
+        int64_t at = tbase + (k % RB) * g.nfmax + (k / RB);
+        g.f1[at] = 127 << 7;
+        g.f2[at] = g.tile_rows << 7;
+    }
+    std::vector<int64_t> fill((size_t)maxd + 2, 0);
+    for (const auto& r : c.recs) {
+        size_t gi = r.cls ? (size_t)r.d + 1 : 0;
+        int64_t k = base[gi] + fill[gi]++;
+        int64_t at = tbase + (k % RB) * g.nfmax + (k / RB);
+        g.f0[at] = r.S;
+        g.f1[at] = r.ph | ((int32_t)(r.P - 1) << 7) | ((int32_t)r.lo << 14);
+        g.f2[at] = (int32_t)(r.len - 1) | ((int32_t)r.row << 7);
     }
     return 0;
 }
 
 inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
-                      int32_t P, int32_t ph, int32_t d) {
+                      int32_t P, int32_t ph, int32_t d, uint8_t cls) {
     RingRec r;
     r.S = (int32_t)S;
     r.row = (int16_t)((p0 >> 7) % c.g->tile_rows);
+    r.cls = cls;
     r.d = (uint8_t)d;
     r.ph = (uint8_t)ph;
     r.P = (uint8_t)P;  // P <= 128 fits
@@ -683,8 +718,11 @@ inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
     }
     // one row of slack so the kernel's second row pull stays in the window
     if (S + 255 >= ((int64_t)2 * g.lit_w) << 7) return TLZ4_PLAN_OVF_LITSPAN;
-    S += ((int64_t)(g.window_rows + g.tile_rows)) << 7;  // lit region base
-    ring_push(c, p0, len, S, 128, ph, 0);
+    // depth/origin arrive uninitialized (np.empty): literal-sourced bytes
+    // (sequence literals AND resolved-to-literal match bytes) are depth 0
+    std::memset(g.depth + p0, 0, (size_t)len);
+    // S stays lit-window-local: literal fires pull from the lit subtable.
+    ring_push(c, p0, len, S, 128, ph, 0, 0);
     return 0;
 }
 
@@ -701,13 +739,15 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
         return TLZ4_PLAN_OVERFLOW;
     int64_t lo_s = src_lo < c.ts ? c.ts : src_lo;
     int32_t d = 0;
-    for (int64_t s = lo_s; s < src_hi; s++) {
-        int32_t v = (int32_t)g.depth[s] + 1;
-        if (v > d) d = v;
+    if (lo_s < src_hi) {
+        uint8_t m = 0;
+        const uint8_t* dp = g.depth;
+        for (int64_t s = lo_s; s < src_hi; s++) m = dp[s] > m ? dp[s] : m;
+        d = (int32_t)m + 1;
     }
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
-    for (int32_t k = 0; k < len; k++) g.depth[p0 + k] = (uint8_t)d;
-    ring_push(c, p0, len, S_local, P, ph, d);
+    std::memset(g.depth + p0, d, (size_t)len);
+    ring_push(c, p0, len, S_local, P, ph, d, 1);
     return 0;
 }
 
@@ -738,48 +778,49 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
     const RingShared& g = *c.g;
     int64_t rel = p0 - m0;
     int32_t d_raw;
+    const uint8_t* dp = g.depth;
     if (off <= 128 && rel + span > off) {
         int64_t A = m0 - off;
         if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
         int64_t lo_s = A < c.ts ? c.ts : A;
-        d_raw = 0;
-        for (int64_t s = lo_s; s < A + off; s++) {
-            int32_t v = (int32_t)g.depth[s] + 1;
-            if (v > d_raw) d_raw = v;
-        }
+        uint8_t m = 0;
+        for (int64_t s = lo_s; s < A + off; s++) m = dp[s] > m ? dp[s] : m;
+        d_raw = lo_s < A + off ? (int32_t)m + 1 : 0;
     } else {
         // non-wrapping (span <= off by piece construction when off > 128):
         // distinct sources are [p0-off, p0-off+span)
         int64_t s0 = p0 - off;
         int64_t lo_s = s0 < c.ts ? c.ts : s0;
-        d_raw = 0;
-        for (int64_t s = lo_s; s < s0 + span; s++) {
-            int32_t v = (int32_t)g.depth[s] + 1;
-            if (v > d_raw) d_raw = v;
-        }
+        uint8_t m = 0;
+        for (int64_t s = lo_s; s < s0 + span; s++) m = dp[s] > m ? dp[s] : m;
+        d_raw = lo_s < s0 + span ? (int32_t)m + 1 : 0;
     }
     if (d_raw >= g.resolve_min_depth) {
-        // split origins into affine runs
-        int32_t starts[64];
-        int32_t nruns = 0;
-        bool usable = true;
+        // split origins into affine runs: literal runs step +1 in comp
+        // space; ring runs step +1 in output space, i.e. -(g+1) steps DOWN
+        // by 1. Pass 1 counts run breaks branchlessly (vectorizable);
+        // pass 2 collects start positions only when the count is usable.
+        const int32_t* ov = g.origin + p0;
         int32_t RT = g.resolve_runs < 64 ? g.resolve_runs : 64;
-        for (int32_t k = 0; k < span && nruns <= RT; k++) {
-            int32_t o = g.origin[p0 + k];
-            bool extends;
-            if (k == 0) {
-                extends = false;
-            } else {
-                int32_t prev = g.origin[p0 + k - 1];
-                // literal runs step +1 in comp space; ring runs step +1 in
-                // output space, i.e. -(g+1) steps DOWN by 1.
-                extends = (prev >= 0) ? (o == prev + 1) : (o == prev - 1);
-            }
-            if (!extends) {
-                if (nruns < 64) starts[nruns] = k;
-                nruns++;
-                if (o < 0 && (int64_t)(-(int64_t)o - 1) < c.ring_base)
-                    usable = false;  // telescoped origin left the ring
+        int32_t nruns = 1;
+        for (int32_t k = 1; k < span; k++) {
+            int32_t prev = ov[k - 1];
+            int32_t step = (prev >= 0) ? 1 : -1;
+            nruns += (ov[k] != prev + step);
+        }
+        int32_t starts[64];
+        bool usable = nruns <= RT;
+        if (usable) {
+            int32_t w = 0;
+            for (int32_t k = 0; k < span; k++) {
+                int32_t o = ov[k];
+                bool brk =
+                    (k == 0) || (o != ov[k - 1] + (ov[k - 1] >= 0 ? 1 : -1));
+                if (brk) {
+                    starts[w++] = k;
+                    if (o < 0 && (int64_t)(-(int64_t)o - 1) < c.ring_base)
+                        usable = false;  // telescoped origin left the ring
+                }
             }
         }
         if (nruns <= RT && usable) {
@@ -837,10 +878,12 @@ int64_t ring_parse_blocks(
     const uint8_t* input, size_t input_len,
     const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
     int32_t nblocks, int32_t independent, int64_t expected_out,
-    std::vector<RingSeq>& seqs, int64_t* total_out)
+    std::vector<RingSeq>& seqs, int64_t* total_out,
+    std::atomic<int64_t>* watermark = nullptr)
 {
     int64_t opos = 0;
     int64_t nseq = 0;
+    int64_t published = 0;
     for (int32_t b = 0; b < nblocks; b++) {
         if (blk_off[b] < 0 || blk_len[b] < 0 ||
             (uint64_t)(blk_off[b] + blk_len[b]) > input_len)
@@ -967,10 +1010,21 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
         // Tile-local origin chase: byte pk copies from sk = pk - off;
         // in-tile sources inherit the source byte's origin (host-side
         // partial chain resolution), pre-tile sources become ring origins
-        // -(sk+1). Sequential in pk, so self-overlap needs no special case.
-        for (int64_t pk = mp; pk < me; pk++) {
-            int64_t sk = pk - off;
-            g.origin[pk] = sk >= c.ts ? g.origin[sk] : (int32_t)(-sk - 1);
+        // -(sk+1). Split at the ring boundary so both halves vectorize: the
+        // ring half is an iota fill, the in-tile half a (possibly periodic)
+        // block copy with no intra-chunk aliasing.
+        {
+            int64_t ring_end = c.ts + off < me ? c.ts + off : me;
+            int32_t o0 = (int32_t)(-(mp - off) - 1);
+            for (int64_t pk = mp; pk < ring_end; pk++)
+                g.origin[pk] = o0 - (int32_t)(pk - mp);
+            int64_t pk = ring_end > mp ? ring_end : mp;
+            while (pk < me) {
+                int64_t chunk = me - pk < off ? me - pk : off;
+                std::memcpy(g.origin + pk, g.origin + pk - off,
+                            (size_t)chunk * 4);
+                pk += chunk;
+            }
         }
         int64_t pp = mp, rem = me - mp;
         while (rem > 0) {
@@ -985,17 +1039,21 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
 }
 }  // namespace
 
-TLZ4_API int64_t tlz4_build_ring_plan(
+TLZ4_API int64_t tlz4_build_ring_plan2(
     const uint8_t* input, size_t input_len,
     const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
     int32_t nblocks, int32_t independent, int64_t expected_out,
-    int32_t tile_rows, int32_t window_rows, int32_t smax, int32_t lit_w,
+    int32_t tile_rows, int32_t window_rows, int32_t rb, int32_t nfmax,
+    int32_t lit_w,
     int32_t ntiles, int32_t resolve_min_depth, int32_t resolve_runs,
     int32_t nthreads,
-    int32_t* plane_src, int32_t* plane_meta,
-    int32_t* nslots, int32_t* litblk,
+    int32_t* f0, int32_t* f1, int32_t* f2,
+    int32_t* nf_lit, int32_t* nf_tot, int32_t* litblk,
     uint8_t* depth, int32_t* origin, int64_t* total_out)
 {
+    const bool prof = std::getenv("TLZ4_PLAN_PROF") != nullptr;
+    auto now = [] { return std::chrono::steady_clock::now(); };
+    auto t0 = now();
     std::vector<RingSeq> seqs;
     seqs.reserve(input_len / 5 + 8);
     int64_t nseq = ring_parse_blocks(
@@ -1003,10 +1061,11 @@ TLZ4_API int64_t tlz4_build_ring_plan(
         expected_out, seqs, total_out);
     if (nseq < 0) return nseq;
     if (*total_out != expected_out) return nseq;  // caller raises size error
+    auto t1 = now();
 
-    RingShared g{tile_rows, window_rows, smax, lit_w, ntiles,
+    RingShared g{tile_rows, window_rows, lit_w, ntiles, rb, nfmax,
                  resolve_min_depth, resolve_runs, expected_out,
-                 plane_src, plane_meta, nslots, litblk, depth, origin};
+                 f0, f1, f2, nf_lit, nf_tot, litblk, depth, origin};
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};
     auto work = [&]() {
@@ -1019,8 +1078,11 @@ TLZ4_API int64_t tlz4_build_ring_plan(
             }
         }
     };
+    // Default to 2x the core count: tile workers stall on soft page faults
+    // of the freshly-allocated output arrays, and oversubscription hides
+    // those stalls (measured ~20% on a 4-core host).
     int32_t nth = nthreads > 0 ? nthreads
-                               : (int32_t)std::thread::hardware_concurrency();
+                               : 2 * (int32_t)std::thread::hardware_concurrency();
     if (nth < 1) nth = 1;
     if (nth > ntiles) nth = ntiles;
     if (nth <= 1) {
@@ -1032,6 +1094,14 @@ TLZ4_API int64_t tlz4_build_ring_plan(
         for (auto& th : pool) th.join();
     }
     if (int32_t rc = err.load()) return rc;
+    if (prof) {
+        auto t2 = now();
+        std::fprintf(stderr,
+                     "[tlz4 plan] parse %.1f ms  tiles %.1f ms (%d threads)\n",
+                     std::chrono::duration<double, std::milli>(t1 - t0).count(),
+                     std::chrono::duration<double, std::milli>(t2 - t1).count(),
+                     nth);
+    }
     return nseq;
 }
 

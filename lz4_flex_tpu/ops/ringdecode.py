@@ -1,11 +1,11 @@
 """Ring decoder: host pull-plan + Pallas TPU kernel for LZ4 block decode.
 
-The native runtime (`tlz4_build_ring_plan`, lz4_flex_tpu/native/lz4_native.cpp)
+The native runtime (`tlz4_build_ring_plan2`, lz4_flex_tpu/native/lz4_native.cpp)
 walks the block once — the same walk as the reference's token loop
 (/root/reference/src/block/decompress.rs:201-444) — and emits a data-parallel
-pull schedule instead of performing the copies: per-(tile, output-row, plane)
-fragment records that the TPU kernel fires as one-hot MXU row pulls over a
-single VMEM-resident table.
+pull schedule instead of performing the copies: compact per-tile record
+streams that the TPU kernel fires RB records at a time as one-hot MXU row
+pulls over a single VMEM-resident table.
 
 Table layout per tile t (rows of 128 bytes):
 
@@ -13,17 +13,23 @@ Table layout per tile t (rows of 128 bytes):
   [WR, WR+TR)         the tile being decoded (updated in place)
   [WR+TR, WR+TR+2*LW) literal window: comp rows [litblk[t]*LW, +2*LW)
 
-Record semantics (table-local byte address S):
+Record stream semantics (record k -> field arrays [t, k % RB, k / RB], so
+fire j = k // RB consumes lane j across all RB sublanes):
 
-  out lane l (lo <= l < lo+len) of the record's row = table[S + (l+ph) mod P]
+  out lane l (lo <= l < lo+len) of row `row` = sub[S + (l+ph) mod P]
 
-  plane_src  = S | ph << 18
-  plane_meta = lo | (len-1) << 7 | (P-1) << 14 | 1 << 21   (0 == empty slot)
+  f0 = S                     class-local byte address (<= 18 bits)
+  f1 = ph | (P-1)<<7 | lo<<14
+  f2 = (len-1) | row<<7      row == TR is the padding sentinel (no scatter)
 
-Planes are depth-grouped and fired strictly in order: every record's sources
-are written by earlier planes (or lie outside the tile), so in-place table
-updates need no other schedule. Typical depths collapse to 0-2 thanks to the
-builder's host-side partial chain resolution.
+The stream is [all literal records][match records by depth asc], each group
+padded to a whole RB fire: literal fires pull from the lit-window subtable
+(2*LW rows), match fires from the ring+tile subtable (WR+TR rows) — smaller
+pull tables than one global table, and a fire's pulls all read the table
+before its writes, so depth groups never split across a fire. Every
+record's sources are written by earlier fires (or lie outside the tile);
+typical depths collapse to 0-2 thanks to the builder's host-side partial
+chain resolution.
 """
 
 from __future__ import annotations
@@ -38,7 +44,9 @@ from ..block import errors as block_errors
 TILE_ROWS = 256  # 32 KiB output tile
 WINDOW_ROWS = 512  # 64 KiB LZ4 window
 LIT_W = 272  # literal window block; two blocks span 69.6 KiB of comp
-SMAX = 96  # plane capacity per tile (overflow -> fallback engine)
+RB = 256  # records per fire
+NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry below on overflow)
+NFMAX_RETRY = 160  # hard cap (overflow -> fallback engine)
 RESOLVE_MIN_DEPTH = 3
 RESOLVE_RUNS = 6
 
@@ -47,9 +55,11 @@ PLAN_OVERFLOW_CODES = (-100, -102, -103, -104)
 
 @dataclass
 class RingPlan:
-    plane_src: np.ndarray  # (ntiles, TILE_ROWS, SMAX) int32
-    plane_meta: np.ndarray  # (ntiles, TILE_ROWS, SMAX) int32
-    nslots: np.ndarray  # (ntiles,) int32
+    rec_f0: np.ndarray  # (ntiles, RB, NF) int32: S
+    rec_f1: np.ndarray  # (ntiles, RB, NF) int32: ph | (P-1)<<7 | lo<<14
+    rec_f2: np.ndarray  # (ntiles, RB, NF) int32: (len-1) | row<<7
+    nf_lit: np.ndarray  # (ntiles,) int32, literal fires per tile
+    nf_tot: np.ndarray  # (ntiles,) int32, total fires per tile
     litblk: np.ndarray  # (ntiles,) int32, literal window block index
     total_out: int
     ntiles: int
@@ -57,28 +67,46 @@ class RingPlan:
     tile_rows: int = TILE_ROWS
     window_rows: int = WINDOW_ROWS
     lit_w: int = LIT_W
-    smax: int = SMAX
+    rb: int = RB
 
 
 def _native_lib():
     from .. import native as _native
 
     lib = _native._lib()
-    if not hasattr(lib.tlz4_build_ring_plan, "_tlz4_configured"):
+    if not hasattr(lib.tlz4_build_ring_plan2, "_tlz4_configured"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i64p = ctypes.POINTER(ctypes.c_int64)
-        lib.tlz4_build_ring_plan.restype = ctypes.c_int64
-        lib.tlz4_build_ring_plan.argtypes = [
+        lib.tlz4_build_ring_plan2.restype = ctypes.c_int64
+        lib.tlz4_build_ring_plan2.argtypes = [
             u8p, ctypes.c_size_t,
             i64p, i64p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            i32p, i32p, i32p, i32p,
+            ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p,
             u8p, i32p, i64p,
         ]
-        lib.tlz4_build_ring_plan._tlz4_configured = True
+        lib.tlz4_build_ring_plan2._tlz4_configured = True
     return lib
+
+
+import threading
+
+_scratch = threading.local()
+
+
+def _chase_scratch(n: int):
+    """Per-thread reusable depth/origin chase buffers (internal to one build
+    call — never part of the returned plan, so reuse cannot alias)."""
+    size = max(n, 1 << 20)
+    cur = getattr(_scratch, "bufs", None)
+    if cur is None or cur[0].shape[0] < size:
+        size = -(-size // (1 << 20)) * (1 << 20)
+        cur = (np.empty(size, np.uint8), np.empty(size, np.int32))
+        _scratch.bufs = cur
+    return cur
 
 
 def build_ring_plan_parts(
@@ -89,7 +117,8 @@ def build_ring_plan_parts(
     nthreads: int = 0,
     tile_rows: int = TILE_ROWS,
     window_rows: int = WINDOW_ROWS,
-    smax: int = SMAX,
+    rb: int = RB,
+    nfmax: int = NFMAX_ALLOC,
     lit_w: int = LIT_W,
     resolve_min_depth: int = RESOLVE_MIN_DEPTH,
     resolve_runs: int = RESOLVE_RUNS,
@@ -108,7 +137,7 @@ def build_ring_plan_parts(
 
     Returns (plan, concatenated_comp) — the second feeds the kernel's
     literal windows — or (None, None) when the input does not fit the
-    static plan shape (plane, depth, or literal-window overflow); callers
+    static plan shape (record, depth, or literal-window overflow); callers
     fall back to the XLA expansion path. Raises the block error taxonomy on
     malformed input.
     """
@@ -125,30 +154,45 @@ def build_ring_plan_parts(
 
     nrows = -(-max(total_out, 1) // 128)
     ntiles = -(-nrows // tile_rows)
-    plane_src = np.zeros((ntiles, tile_rows, smax), np.int32)
-    plane_meta = np.zeros((ntiles, tile_rows, smax), np.int32)
-    nslots = np.zeros(ntiles, np.int32)
+    # np.empty throughout: the builder writes every cell it semantically
+    # reads (pad regions are memset tile-locally in C++), and zeroing three
+    # large arrays per call costs more than the build itself.
+    f0 = np.empty((ntiles, rb, nfmax), np.int32)
+    f1 = np.empty((ntiles, rb, nfmax), np.int32)
+    f2 = np.empty((ntiles, rb, nfmax), np.int32)
+    nf_lit = np.zeros(ntiles, np.int32)
+    nf_tot = np.zeros(ntiles, np.int32)
     litblk = np.zeros(ntiles, np.int32)
-    depth = np.zeros(max(total_out, 1), np.uint8)
-    origin = np.zeros(max(total_out, 1), np.int32)
+    depth, origin = _chase_scratch(total_out)
     tot = np.zeros(1, np.int64)
 
     lib = _native_lib()
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    rc = lib.tlz4_build_ring_plan(
+    rc = lib.tlz4_build_ring_plan2(
         comp.ctypes.data_as(u8p), comp.shape[0],
         blk_off.ctypes.data_as(i64p), blk_len.ctypes.data_as(i64p),
         blk_store.ctypes.data_as(u8p), len(parts),
         1 if independent else 0, total_out,
-        tile_rows, window_rows, smax, lit_w,
+        tile_rows, window_rows, rb, nfmax, lit_w,
         ntiles, resolve_min_depth, resolve_runs, nthreads,
-        plane_src.ctypes.data_as(i32p), plane_meta.ctypes.data_as(i32p),
-        nslots.ctypes.data_as(i32p), litblk.ctypes.data_as(i32p),
+        f0.ctypes.data_as(i32p), f1.ctypes.data_as(i32p),
+        f2.ctypes.data_as(i32p),
+        nf_lit.ctypes.data_as(i32p), nf_tot.ctypes.data_as(i32p),
+        litblk.ctypes.data_as(i32p),
         depth.ctypes.data_as(u8p), origin.ctypes.data_as(i32p),
         tot.ctypes.data_as(i64p),
     )
+    if rc == -102 and nfmax < NFMAX_RETRY:
+        # record-capacity overflow: retry once with the hard cap before
+        # giving up to the fallback engine
+        return build_ring_plan_parts(
+            parts, total_out, independent=independent, nthreads=nthreads,
+            tile_rows=tile_rows, window_rows=window_rows, rb=rb,
+            nfmax=NFMAX_RETRY, lit_w=lit_w,
+            resolve_min_depth=resolve_min_depth, resolve_runs=resolve_runs,
+        )
     if rc in PLAN_OVERFLOW_CODES:
         return None, None
     if rc < 0:
@@ -158,8 +202,8 @@ def build_ring_plan_parts(
     if int(tot[0]) != total_out:
         raise block_errors.OutputTooSmall(int(tot[0]), total_out)
     plan = RingPlan(
-        plane_src, plane_meta, nslots, litblk, total_out, ntiles,
-        tile_rows, window_rows, lit_w, smax,
+        f0, f1, f2, nf_lit, nf_tot, litblk, total_out, ntiles,
+        tile_rows, window_rows, lit_w, rb,
     )
     return plan, comp
 
@@ -191,6 +235,7 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
     comp_rows = _comp_rows(plan, comp).astype(np.int32)
     out = np.zeros((plan.ntiles * TR, 128), np.int32)
     lane = np.arange(128, dtype=np.int32)[None, :]
+    nf = plan.rec_f0.shape[2]
 
     for t in range(plan.ntiles):
         tbl = np.zeros((NT, 128), np.int32)
@@ -200,23 +245,36 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
         else:
             tbl[:WR] = out[lo_row : t * TR]
         tbl[WR + TR :] = comp_rows[plan.litblk[t] * LW :][: 2 * LW]
-        for j in range(int(plan.nslots[t])):
-            src = plan.plane_src[t, :, j]
-            meta = plan.plane_meta[t, :, j]
-            S = src & 0x3FFFF
-            ph = (src >> 18) & 127
-            lo = meta & 127
-            ln = ((meta >> 7) & 127) + 1
-            P = ((meta >> 14) & 127) + 1
-            used = (meta >> 21) & 1
+        for j in range(int(plan.nf_tot[t])):
+            assert j < nf
+            f0 = plan.rec_f0[t, :, j]
+            f1 = plan.rec_f1[t, :, j]
+            f2 = plan.rec_f2[t, :, j]
+            S = f0
+            ph = f1 & 127
+            P = ((f1 >> 7) & 127) + 1
+            lo = (f1 >> 14) & 127
+            ln = (f2 & 127) + 1
+            row = (f2 >> 7) & 511
+            if j < plan.nf_lit[t]:
+                sub = tbl[WR + TR :].reshape(-1)
+            else:
+                sub = tbl[: WR + TR].reshape(-1)
             idx = S[:, None] + (lane + ph[:, None]) % P[:, None]
-            y = tbl.reshape(-1)[np.clip(idx, 0, NT * 128 - 1)]
+            y = sub[np.clip(idx, 0, sub.shape[0] - 1)]
             mask = (
-                (used[:, None] == 1)
+                (row[:, None] < TR)
                 & (lane >= lo[:, None])
                 & (lane < (lo + ln)[:, None])
             )
-            tbl[WR : WR + TR] = np.where(mask, y, tbl[WR : WR + TR])
+            # scatter: output lanes are written exactly once per tile, so a
+            # masked add over records is exact
+            contrib = np.zeros((TR, 128), np.int32)
+            cov = np.zeros((TR, 128), np.int32)
+            np.add.at(contrib, np.clip(row, 0, TR - 1), np.where(mask, y, 0))
+            np.add.at(cov, np.clip(row, 0, TR - 1), mask.astype(np.int32))
+            region = tbl[WR : WR + TR]
+            tbl[WR : WR + TR] = np.where(cov > 0, contrib, region)
         out[t * TR : (t + 1) * TR] = tbl[WR : WR + TR]
     return out.astype(np.uint8).reshape(-1)[: plan.total_out].tobytes()
 
@@ -226,19 +284,20 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
 # ---------------------------------------------------------------------------
 #
 # One grid step per tile, sequential (the table scratch carries the ring
-# across steps). Per fire: three tiny MXU matmuls splat the plane's per-row
-# fields across lanes (f32 one-hot — exact for <=24-bit ints), two one-hot
-# MXU row pulls fetch the aligned row pair containing each record's source
-# span, and a within-row take_along_axis + wrap select extracts the
-# (l+ph) mod P bytes (the TPU form of the reference's wild copy,
-# /root/reference/src/fastcpy_unsafe.rs:64-90). Planes fire strictly in
-# order (depth-grouped by the builder), updating the tile region in place.
+# across steps). Per fire: three tiny MXU matmuls splat the fire's RB
+# record fields across lanes (f32 one-hot — exact for <=24-bit ints), two
+# one-hot MXU row pulls fetch the aligned row pair containing each record's
+# source span from the class subtable, a within-row take_along_axis + wrap
+# select extracts the (l+ph) mod P bytes (the TPU form of the reference's
+# wild copy, /root/reference/src/fastcpy_unsafe.rs:64-90), and a one-hot
+# scatter (contracting the record dim) lands the bytes on their tile rows.
+# Fires run strictly in order (lit group first, then match depth groups),
+# updating the tile region in place.
 
-_TBL_DTYPE = None  # set lazily: bfloat16 (bytes are exact), f32 fallback
 
-
-def _ring_kernel(ns_ref, lb_ref, blk0_ref, blk1_ref, src_ref, meta_ref,
-                 out_ref, tbl_ref, *, TR, WR, LW, SMAX, dt):
+def _ring_kernel(nfl_ref, nft_ref, lb_ref, blk0_ref, blk1_ref,
+                 f0_ref, f1_ref, f2_ref, out_ref, tbl_ref,
+                 *, TR, WR, LW, RB_, NF, dt):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -257,69 +316,80 @@ def _ring_kernel(ns_ref, lb_ref, blk0_ref, blk1_ref, src_ref, meta_ref,
     tbl_ref[WR + TR : WR + TR + LW, :] = blk0_ref[...].astype(jnp.int32).astype(dt)
     tbl_ref[WR + TR + LW : NT, :] = blk1_ref[...].astype(jnp.int32).astype(dt)
 
-    src = src_ref[0]
-    meta = meta_ref[0]
-    f0 = (src & 0x3FFFF).astype(jnp.float32)
-    f1 = (
-        ((src >> 18) & 127)
-        | (((meta >> 14) & 127) << 7)
-        | ((meta & 127) << 14)
-    ).astype(jnp.float32)
-    f2 = (((meta >> 7) & 127) | (((meta >> 21) & 1) << 7)).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RB_, 128), 1)
+    rowsTR = jax.lax.broadcasted_iota(jnp.int32, (RB_, TR), 1)
 
-    def fire(j, carry):
-        ohj = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (SMAX, 128), 0) == j, 1.0, 0.0
-        ).astype(jnp.float32)
+    def make_fire(sub_lo, sub_hi):
+        KR = sub_hi - sub_lo
+        rowsK = jax.lax.broadcasted_iota(jnp.int32, (RB_, KR), 1)
 
-        def splat(f):
-            # HIGHEST precision: the default MXU f32 path is bf16-precision
-            # and rounds >8-bit field values (observed: S loses its low bits).
-            return jax.lax.dot_general(
-                f, ohj, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+        def fire(j, carry):
+            ohj = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (NF, 128), 0) == j,
+                1.0, 0.0,
+            ).astype(jnp.float32)
+
+            def splat(fref):
+                # HIGHEST precision: the default MXU f32 path is
+                # bf16-precision and rounds >8-bit field values.
+                return jax.lax.dot_general(
+                    fref[0].astype(jnp.float32), ohj,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+
+            S = splat(f0_ref)
+            b1 = splat(f1_ref)
+            b2 = splat(f2_ref)
+            ph = b1 & 127
+            P = ((b1 >> 7) & 127) + 1
+            lo = (b1 >> 14) & 127
+            lenm1 = b2 & 127
+            row = (b2 >> 7) & 511
+            rowS = (S >> 7)[:, 0:1]
+            oh0 = jnp.where(rowsK == rowS, 1.0, 0.0).astype(dt)
+            oh1 = jnp.where(rowsK == rowS + 1, 1.0, 0.0).astype(dt)
+            sub = tbl_ref[sub_lo:sub_hi, :]
+            A = jax.lax.dot_general(
+                oh0, sub, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
+            B = jax.lax.dot_general(
+                oh1, sub, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            q = (S & 127) + (lane + ph) % P
+            qm = q & 127
+            gA = jnp.take_along_axis(A, qm, axis=1)
+            gB = jnp.take_along_axis(B, qm, axis=1)
+            byte = jnp.where(q < 128, gA, gB)
+            inr = (row < TR) & (lane >= lo) & (lane <= lo + lenm1)
+            mb = jnp.where(inr, byte, 0).astype(dt)
+            mi = jnp.where(inr, 1, 0).astype(dt)
+            ohr = jnp.where(rowsTR == row[:, 0:1], 1.0, 0.0).astype(dt)
+            scat = jax.lax.dot_general(
+                ohr, mb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            cov = jax.lax.dot_general(
+                ohr, mi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            cur = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
+            new = jnp.where(cov > 0, scat, cur)
+            tbl_ref[WR : WR + TR, :] = new.astype(dt)
+            return carry
 
-        S = splat(f0)
-        b1 = splat(f1)
-        b2 = splat(f2)
-        ph = b1 & 127
-        P = ((b1 >> 7) & 127) + 1
-        lo = (b1 >> 14) & 127
-        lenm1 = b2 & 127
-        used = (b2 >> 7) & 1
-        rowS = (S >> 7)[:, 0:1]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (TR, NT), 1)
-        oh0 = jnp.where(rows == rowS, 1.0, 0.0).astype(dt)
-        oh1 = jnp.where(rows == rowS + 1, 1.0, 0.0).astype(dt)
-        tblv = tbl_ref[...]
-        A = jax.lax.dot_general(
-            oh0, tblv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        B = jax.lax.dot_general(
-            oh1, tblv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
-        q = (S & 127) + (lane + ph) % P
-        qm = q & 127
-        gA = jnp.take_along_axis(A, qm, axis=1)
-        gB = jnp.take_along_axis(B, qm, axis=1)
-        byte = jnp.where(q < 128, gA, gB)
-        mask = (used == 1) & (lane >= lo) & (lane <= lo + lenm1)
-        cur = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
-        new = jnp.where(mask, byte, cur)
-        tbl_ref[WR : WR + TR, :] = new.astype(dt)
-        return carry
+        return fire
 
-    jax.lax.fori_loop(0, ns_ref[b], fire, 0)
+    jax.lax.fori_loop(0, nfl_ref[b], make_fire(WR + TR, NT), 0)
+    jax.lax.fori_loop(nfl_ref[b], nft_ref[b], make_fire(0, WR + TR), 0)
     out_ref[...] = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
 
 
-def _kernel_call(ntiles, nblk, *, TR=TILE_ROWS, WR=WINDOW_ROWS, LW=LIT_W,
-                 SMAX_=SMAX):
+def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
+                 LW=LIT_W, RB_=RB, interpret=False):
     """Build (and cache) the jitted pallas_call for a shape bucket."""
     import functools
 
@@ -329,28 +399,30 @@ def _kernel_call(ntiles, nblk, *, TR=TILE_ROWS, WR=WINDOW_ROWS, LW=LIT_W,
     from jax.experimental.pallas import tpu as pltpu
 
     NT = WR + TR + 2 * LW
-    dt = jnp.bfloat16
+    dt = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
-        _ring_kernel, TR=TR, WR=WR, LW=LW, SMAX=SMAX_, dt=dt
+        _ring_kernel, TR=TR, WR=WR, LW=LW, RB_=RB_, NF=nf, dt=dt
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # nslots, litblk
+        num_scalar_prefetch=3,  # nf_lit, nf_tot, litblk
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((LW, 128), lambda b, ns, lb: (lb[b], 0)),
-            pl.BlockSpec((LW, 128), lambda b, ns, lb: (lb[b] + 1, 0)),
-            pl.BlockSpec((1, TR, SMAX_), lambda b, ns, lb: (b, 0, 0)),
-            pl.BlockSpec((1, TR, SMAX_), lambda b, ns, lb: (b, 0, 0)),
+            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb: (lb[b], 0)),
+            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb: (lb[b] + 1, 0)),
+            pl.BlockSpec((1, RB_, nf), lambda b, nfl, nft, lb: (b, 0, 0)),
+            pl.BlockSpec((1, RB_, nf), lambda b, nfl, nft, lb: (b, 0, 0)),
+            pl.BlockSpec((1, RB_, nf), lambda b, nfl, nft, lb: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((TR, 128), lambda b, ns, lb: (b, 0)),
+        out_specs=pl.BlockSpec((TR, 128), lambda b, nfl, nft, lb: (b, 0)),
         scratch_shapes=[pltpu.VMEM((NT, 128), dt)],
     )
     return jax.jit(
-        lambda ns, lb, c, s, m: pl.pallas_call(
+        lambda nfl, nft, lb, c, a0, a1, a2: pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ntiles * TR, 128), jnp.int32),
-        )(ns, lb, c, c, s, m)
+            interpret=interpret,
+        )(nfl, nft, lb, c, c, a0, a1, a2)
     )
 
 
@@ -373,16 +445,14 @@ def decode_block_ring(comp, total_out: int, *, plan: RingPlan | None = None,
     static plan (caller falls back). Raises the block error taxonomy on
     malformed input (validated host-side during plan construction).
     """
-    import jax.numpy as jnp
-
     if plan is None:
         plan = build_ring_plan(comp, total_out)
         if plan is None:
             return None
     arrs = ring_plan_device_arrays(plan, comp)
-    out = ring_decode_jit(*arrs, ntiles=arrs[0].shape[0],
-                          nblk=arrs[2].shape[0] // plan.lit_w,
-                          interpret=interpret)
+    out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
+                          nblk=arrs[3].shape[0] // plan.lit_w,
+                          nf=arrs[4].shape[2], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
@@ -436,73 +506,49 @@ def decode_parts_ring(
     if plan is None:
         return None
     arrs = ring_plan_device_arrays(plan, comp)
-    out = ring_decode_jit(*arrs, ntiles=arrs[0].shape[0],
-                          nblk=arrs[2].shape[0] // plan.lit_w,
-                          interpret=interpret)
+    out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
+                          nblk=arrs[3].shape[0] // plan.lit_w,
+                          nf=arrs[4].shape[2], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
 
 def ring_plan_device_arrays(plan: RingPlan, comp):
-    """Bucket-pad the plan + compressed stream to stable device shapes."""
+    """Bucket-pad the plan + compressed stream to stable device shapes.
+
+    Record fields upload as-built when the tile count already sits on a
+    bucket boundary (fires beyond nf_tot never execute, so no padding values
+    are needed) — for big inputs this is the zero-copy common case."""
     nt = _bucket(plan.ntiles)
-    ns = np.zeros(nt, np.int32)
-    ns[: plan.ntiles] = plan.nslots
+    nfl = np.zeros(nt, np.int32)
+    nfl[: plan.ntiles] = plan.nf_lit
+    nft = np.zeros(nt, np.int32)
+    nft[: plan.ntiles] = plan.nf_tot
     lb = np.zeros(nt, np.int32)
     lb[: plan.ntiles] = plan.litblk
-    src = np.zeros((nt, plan.tile_rows, plan.smax), np.int32)
-    src[: plan.ntiles] = plan.plane_src
-    meta = np.zeros((nt, plan.tile_rows, plan.smax), np.int32)
-    meta[: plan.ntiles] = plan.plane_meta
+    nf = plan.rec_f0.shape[2]
+    if nt == plan.ntiles:
+        f0, f1, f2 = plan.rec_f0, plan.rec_f1, plan.rec_f2
+    else:
+        f0 = np.zeros((nt, plan.rb, nf), np.int32)
+        f0[: plan.ntiles] = plan.rec_f0
+        f1 = np.zeros((nt, plan.rb, nf), np.int32)
+        f1[: plan.ntiles] = plan.rec_f1
+        f2 = np.zeros((nt, plan.rb, nf), np.int32)
+        f2[: plan.ntiles] = plan.rec_f2
     rows = _comp_rows(plan, comp)
     nblk = _bucket(rows.shape[0] // plan.lit_w, 16)
     crows = np.zeros((nblk * plan.lit_w, 128), np.uint8)
     crows[: rows.shape[0]] = rows
-    return ns, lb, crows, src, meta
+    return nfl, nft, lb, crows, f0, f1, f2
 
 
-def ring_decode_jit(ns, lb, crows, src, meta, *, ntiles, nblk,
+def ring_decode_jit(nfl, nft, lb, crows, f0, f1, f2, *, ntiles, nblk, nf,
                     interpret=False):
-    key = (ntiles, nblk, src.shape[1], src.shape[2], bool(interpret))
+    key = (ntiles, nblk, nf, f0.shape[1], bool(interpret))
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
-        if interpret:
-            import functools
-
-            import jax
-            import jax.numpy as jnp
-            from jax.experimental import pallas as pl
-            from jax.experimental.pallas import tpu as pltpu
-
-            TR, SMAX_ = src.shape[1], src.shape[2]
-            WR, LW = WINDOW_ROWS, LIT_W
-            NT = WR + TR + 2 * LW
-            dt = jnp.float32
-            kern = functools.partial(
-                _ring_kernel, TR=TR, WR=WR, LW=LW, SMAX=SMAX_, dt=dt
-            )
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(ntiles,),
-                in_specs=[
-                    pl.BlockSpec((LW, 128), lambda b, ns, lb: (lb[b], 0)),
-                    pl.BlockSpec((LW, 128), lambda b, ns, lb: (lb[b] + 1, 0)),
-                    pl.BlockSpec((1, TR, SMAX_), lambda b, ns, lb: (b, 0, 0)),
-                    pl.BlockSpec((1, TR, SMAX_), lambda b, ns, lb: (b, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((TR, 128), lambda b, ns, lb: (b, 0)),
-                scratch_shapes=[pltpu.VMEM((NT, 128), dt)],
-            )
-            fn = jax.jit(
-                lambda a, c, d, e, f: pl.pallas_call(
-                    kern, grid_spec=grid_spec,
-                    out_shape=jax.ShapeDtypeStruct(
-                        (ntiles * src.shape[1], 128), jnp.int32
-                    ),
-                    interpret=True,
-                )(a, c, d, d, e, f)
-            )
-        else:
-            fn = _kernel_call(ntiles, nblk)
+        fn = _kernel_call(ntiles, nblk, nf, RB_=f0.shape[1],
+                          interpret=interpret)
         _KERNEL_CACHE[key] = fn
-    return fn(ns, lb, crows, src, meta)
+    return fn(nfl, nft, lb, crows, f0, f1, f2)

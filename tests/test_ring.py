@@ -130,9 +130,11 @@ def test_plan_deterministic_across_threads(corpus_34k):
     comp = _u8(block.compress(corpus_34k))
     a = build_ring_plan(comp, len(corpus_34k), nthreads=1)
     b = build_ring_plan(comp, len(corpus_34k), nthreads=4)
-    np.testing.assert_array_equal(a.plane_src, b.plane_src)
-    np.testing.assert_array_equal(a.plane_meta, b.plane_meta)
-    np.testing.assert_array_equal(a.nslots, b.nslots)
+    np.testing.assert_array_equal(a.rec_f0, b.rec_f0)
+    np.testing.assert_array_equal(a.rec_f1, b.rec_f1)
+    np.testing.assert_array_equal(a.rec_f2, b.rec_f2)
+    np.testing.assert_array_equal(a.nf_lit, b.nf_lit)
+    np.testing.assert_array_equal(a.nf_tot, b.nf_tot)
     np.testing.assert_array_equal(a.litblk, b.litblk)
 
 
