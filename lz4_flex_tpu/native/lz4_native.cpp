@@ -637,11 +637,10 @@ int ring_pack_tile(RingTile& c) {
     const int64_t RB = g.rb;
     const int64_t cap = RB * g.nfmax;
     if (c.recs.empty()) {
+        // fires beyond nf_tot never execute, so the record slots can stay
+        // uninitialized (np.empty garbage is never read by the kernel)
         g.nf_lit[c.t] = 0;
         g.nf_tot[c.t] = 0;
-        std::memset(g.f0 + (int64_t)c.t * cap, 0, (size_t)cap * 4);
-        std::memset(g.f1 + (int64_t)c.t * cap, 0, (size_t)cap * 4);
-        std::memset(g.f2 + (int64_t)c.t * cap, 0, (size_t)cap * 4);
         return 0;
     }
     int32_t maxd = 0;
@@ -661,17 +660,18 @@ int ring_pack_tile(RingTile& c) {
     g.nf_lit[c.t] = (int32_t)(base[1] / RB);
     g.nf_tot[c.t] = (int32_t)(base[(size_t)maxd + 2] / RB);
     const int64_t tbase = (int64_t)c.t * cap;
-    // The arrays arrive uninitialized (np.empty — zeroing 3 large arrays per
-    // call costs more than the build): make the whole tile slice
-    // deterministic, then stamp sentinel padding over the used region
-    // (row = tile_rows scatters nowhere, P = 128 keeps lane math benign).
-    std::memset(g.f0 + tbase, 0, (size_t)cap * 4);
-    std::memset(g.f1 + tbase, 0, (size_t)cap * 4);
-    std::memset(g.f2 + tbase, 0, (size_t)cap * 4);
-    for (int64_t k = 0; k < base[(size_t)maxd + 2]; k++) {
-        int64_t at = tbase + (k % RB) * g.nfmax + (k / RB);
-        g.f1[at] = 127 << 7;
-        g.f2[at] = g.tile_rows << 7;
+    // The arrays arrive uninitialized (np.empty — zeroing them per call
+    // costs more than the build itself) and fires beyond nf_tot never
+    // execute, so only the pad slots inside each group's fire-rounded span
+    // need sentinel stamping (row = tile_rows scatters nowhere, P = 128
+    // keeps lane math benign); record slots are overwritten below.
+    for (size_t gi = 0; gi <= (size_t)maxd + 1; gi++) {
+        for (int64_t k = base[gi] + cnt[gi]; k < base[gi + 1]; k++) {
+            int64_t at = tbase + (k % RB) * g.nfmax + (k / RB);
+            g.f0[at] = 0;
+            g.f1[at] = 127 << 7;
+            g.f2[at] = g.tile_rows << 7;
+        }
     }
     std::vector<int64_t> fill((size_t)maxd + 2, 0);
     for (const auto& r : c.recs) {
@@ -874,16 +874,32 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
 // literal-only pseudo-sequences. `independent` restricts match reach to the
 // block's own output (the reference decodes independent-mode blocks with no
 // dictionary, /root/reference/src/frame/decompress.rs:294-306).
+// Parse -> tile-build overlap: the parser publishes (seq count, output
+// position) as it walks; tile workers wait until the watermark passes their
+// tile's end before building. `seqs` is reserved for the worst case up
+// front (every sequence consumes >= 3 comp bytes except one 1-byte final
+// per block), so push_back never reallocates while workers read.
+struct RingWatermark {
+    std::atomic<int64_t> n{0};     // published sequence count
+    std::atomic<int64_t> opos{0};  // output position covered by those seqs
+    std::atomic<int32_t> done{0};  // parser finished (any outcome)
+};
+
 int64_t ring_parse_blocks(
     const uint8_t* input, size_t input_len,
     const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
     int32_t nblocks, int32_t independent, int64_t expected_out,
     std::vector<RingSeq>& seqs, int64_t* total_out,
-    std::atomic<int64_t>* watermark = nullptr)
+    RingWatermark* wm = nullptr)
 {
     int64_t opos = 0;
     int64_t nseq = 0;
     int64_t published = 0;
+    auto publish = [&]() {
+        wm->n.store(nseq, std::memory_order_release);
+        wm->opos.store(opos, std::memory_order_release);
+        published = nseq;
+    };
     for (int32_t b = 0; b < nblocks; b++) {
         if (blk_off[b] < 0 || blk_len[b] < 0 ||
             (uint64_t)(blk_off[b] + blk_len[b]) > input_len)
@@ -899,6 +915,7 @@ int64_t ring_parse_blocks(
             seqs.push_back({(int64_t)ip, opos, (int32_t)blk_len[b], 0, 0});
             opos += blk_len[b];
             nseq++;
+            if (wm) publish();
             continue;
         }
         const int64_t obase = independent ? opos : 0;
@@ -930,6 +947,7 @@ int64_t ring_parse_blocks(
                 q.match_off = 0;
                 seqs.push_back(q);
                 nseq++;
+                if (wm) publish();
                 break;
             }
             if (end - ip < 2) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
@@ -956,6 +974,7 @@ int64_t ring_parse_blocks(
             seqs.push_back(q);
             nseq++;
             opos += (int64_t)ml;
+            if (wm && nseq - published >= 256) publish();
         }
     }
     *total_out = opos;
@@ -964,8 +983,13 @@ int64_t ring_parse_blocks(
 
 // Pass 2, one tile: origin chase + record emission for output [ts, te).
 // Reads g.depth/g.origin only inside the tile, so tiles are independent.
+// TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
+bool prof_on = false;
+std::atomic<int64_t> prof_emit_ns{0}, prof_pack_ns{0}, prof_recs{0};
+
 int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
-                    int32_t t) {
+                    const RingWatermark* wm, int32_t t) {
+    auto tt0 = std::chrono::steady_clock::now();
     RingTile c;
     c.g = &g;
     c.t = t;
@@ -974,15 +998,30 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
     c.ring_base = c.ts - (((int64_t)g.window_rows) << 7);
     g.litblk[t] = -1;
 
+    // Wait for the parser to pass this tile's end before reading seqs.
+    size_t n_pub = seqs.size();
+    if (wm) {
+        int64_t te_eff = c.te < g.expected_out ? c.te : g.expected_out;
+        // Sleep, don't spin: oversubscribed waiters yielding in a tight
+        // loop starve the serial parser on small hosts (measured 15 ms ->
+        // 113 ms parse with 8 spinning waiters on 4 cores).
+        while (wm->opos.load(std::memory_order_acquire) < te_eff &&
+               !wm->done.load(std::memory_order_acquire))
+            std::this_thread::sleep_for(std::chrono::microseconds(50));
+        if (wm->opos.load(std::memory_order_acquire) < te_eff)
+            return 0;  // parse failed/short: the whole result is discarded
+        n_pub = (size_t)wm->n.load(std::memory_order_acquire);
+    }
+
     // last sequence starting at or before ts
-    size_t lo = 0, hi = seqs.size();
+    size_t lo = 0, hi = n_pub;
     while (lo < hi) {
         size_t mid = (lo + hi) / 2;
         if (seqs[mid].out_off <= c.ts) lo = mid + 1; else hi = mid;
     }
     size_t i = lo > 0 ? lo - 1 : 0;
 
-    for (; i < seqs.size() && seqs[i].out_off < c.te; i++) {
+    for (; i < n_pub && seqs[i].out_off < c.te; i++) {
         const RingSeq& q = seqs[i];
         // literal fragment [out_off, out_off+ll) from comp [lit_start, ...)
         int64_t l1 = q.out_off + q.lit_len;
@@ -1035,6 +1074,22 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
         }
     }
     if (g.litblk[t] < 0) g.litblk[t] = 0;
+    if (prof_on) {
+        auto tp = std::chrono::steady_clock::now();
+        prof_emit_ns.fetch_add(
+            std::chrono::duration_cast<std::chrono::nanoseconds>(tp - tt0)
+                .count(),
+            std::memory_order_relaxed);
+        int rc = ring_pack_tile(c);
+        prof_pack_ns.fetch_add(
+            std::chrono::duration_cast<std::chrono::nanoseconds>(
+                std::chrono::steady_clock::now() - tp)
+                .count(),
+            std::memory_order_relaxed);
+        prof_recs.fetch_add((int64_t)c.recs.size(),
+                            std::memory_order_relaxed);
+        return rc;
+    }
     return ring_pack_tile(c);
 }
 }  // namespace
@@ -1052,27 +1107,29 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     uint8_t* depth, int32_t* origin, int64_t* total_out)
 {
     const bool prof = std::getenv("TLZ4_PLAN_PROF") != nullptr;
+    prof_on = prof;
+    if (prof) {
+        prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);
+    }
     auto now = [] { return std::chrono::steady_clock::now(); };
     auto t0 = now();
+    // Worst-case capacity so push_back never reallocates while tile workers
+    // read concurrently: every non-final sequence consumes >= 3 comp bytes
+    // (token + 2-byte offset), plus one short final sequence per block.
     std::vector<RingSeq> seqs;
-    seqs.reserve(input_len / 5 + 8);
-    int64_t nseq = ring_parse_blocks(
-        input, input_len, blk_off, blk_len, blk_store, nblocks, independent,
-        expected_out, seqs, total_out);
-    if (nseq < 0) return nseq;
-    if (*total_out != expected_out) return nseq;  // caller raises size error
-    auto t1 = now();
+    seqs.reserve(input_len / 3 + (size_t)nblocks + 8);
 
     RingShared g{tile_rows, window_rows, lit_w, ntiles, rb, nfmax,
                  resolve_min_depth, resolve_runs, expected_out,
                  f0, f1, f2, nf_lit, nf_tot, litblk, depth, origin};
+    RingWatermark wm;
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};
     auto work = [&]() {
         for (;;) {
             int32_t t = next.fetch_add(1);
             if (t >= ntiles || err.load(std::memory_order_relaxed)) break;
-            if (int rc = ring_build_tile(g, seqs, t)) {
+            if (int rc = ring_build_tile(g, seqs, &wm, t)) {
                 int32_t expected = 0;
                 err.compare_exchange_strong(expected, (int32_t)rc);
             }
@@ -1081,6 +1138,25 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     // Default to 2x the core count: tile workers stall on soft page faults
     // of the freshly-allocated output arrays, and oversubscription hides
     // those stalls (measured ~20% on a 4-core host).
+    //
+    // The phases run sequentially ON PURPOSE: overlapping the serial token
+    // walk with tile building (workers chasing the parse watermark) was
+    // measured a net LOSS on a small host — tile workers saturate the
+    // memory bus and stretch the bandwidth-sensitive parse from 15 ms to
+    // ~107 ms wall (even a single concurrent worker doubles it), while the
+    // overlap saves at most the 15 ms parse. The watermark machinery stays
+    // (workers built against it are correct either way) with done
+    // pre-published, so ring_build_tile never waits.
+    int64_t nseq = ring_parse_blocks(
+        input, input_len, blk_off, blk_len, blk_store, nblocks, independent,
+        expected_out, seqs, total_out, &wm);
+    auto t1 = now();
+    if (nseq < 0) return nseq;
+    if (*total_out != expected_out) return nseq;  // caller raises size error
+    wm.n.store(nseq, std::memory_order_release);
+    wm.opos.store(*total_out, std::memory_order_release);
+    wm.done.store(1, std::memory_order_release);
+
     int32_t nth = nthreads > 0 ? nthreads
                                : 2 * (int32_t)std::thread::hardware_concurrency();
     if (nth < 1) nth = 1;
@@ -1096,11 +1172,14 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     if (int32_t rc = err.load()) return rc;
     if (prof) {
         auto t2 = now();
-        std::fprintf(stderr,
-                     "[tlz4 plan] parse %.1f ms  tiles %.1f ms (%d threads)\n",
-                     std::chrono::duration<double, std::milli>(t1 - t0).count(),
-                     std::chrono::duration<double, std::milli>(t2 - t1).count(),
-                     nth);
+        std::fprintf(
+            stderr,
+            "[tlz4 plan] parse %.1f ms  total %.1f ms (%d threads)  "
+            "emit %.1f ms-cpu  pack %.1f ms-cpu  %lld recs\n",
+            std::chrono::duration<double, std::milli>(t1 - t0).count(),
+            std::chrono::duration<double, std::milli>(t2 - t0).count(), nth,
+            prof_emit_ns.load() / 1e6, prof_pack_ns.load() / 1e6,
+            (long long)prof_recs.load());
     }
     return nseq;
 }

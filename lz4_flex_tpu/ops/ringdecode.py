@@ -109,6 +109,29 @@ def _chase_scratch(n: int):
     return cur
 
 
+def _record_arrays(ntiles: int, rb: int, nfmax: int):
+    """Per-thread rotating pool for the plan's record field arrays.
+
+    Fresh ``np.empty`` of ~50 MB per build costs a page-fault storm per
+    call; reuse avoids it. Two generations rotate so the arrays of the
+    previous build stay untouched while the next one runs — the pipelined
+    steady state (upload buffer i while building i+1) never aliases. A plan
+    is invalidated by the SECOND subsequent build on the same thread;
+    callers that pipeline deeper must copy the record arrays out.
+    """
+    gens = getattr(_scratch, "plan_gens", None)
+    if gens is None:
+        gens = _scratch.plan_gens = [None, None]
+        _scratch.plan_idx = 0
+    _scratch.plan_idx ^= 1
+    cur = gens[_scratch.plan_idx]
+    shape = (ntiles, rb, nfmax)
+    if cur is None or cur[0].shape != shape:
+        cur = tuple(np.empty(shape, np.int32) for _ in range(3))
+        gens[_scratch.plan_idx] = cur
+    return cur
+
+
 def build_ring_plan_parts(
     parts,
     total_out: int,
@@ -154,12 +177,10 @@ def build_ring_plan_parts(
 
     nrows = -(-max(total_out, 1) // 128)
     ntiles = -(-nrows // tile_rows)
-    # np.empty throughout: the builder writes every cell it semantically
-    # reads (pad regions are memset tile-locally in C++), and zeroing three
-    # large arrays per call costs more than the build itself.
-    f0 = np.empty((ntiles, rb, nfmax), np.int32)
-    f1 = np.empty((ntiles, rb, nfmax), np.int32)
-    f2 = np.empty((ntiles, rb, nfmax), np.int32)
+    # Pooled, uninitialized record arrays: the builder stamps every slot the
+    # kernel can read (fires < nf_tot), and zeroing ~50 MB per call costs
+    # more than the build itself.
+    f0, f1, f2 = _record_arrays(ntiles, rb, nfmax)
     nf_lit = np.zeros(ntiles, np.int32)
     nf_tot = np.zeros(ntiles, np.int32)
     litblk = np.zeros(ntiles, np.int32)

@@ -130,12 +130,16 @@ def test_plan_deterministic_across_threads(corpus_34k):
     comp = _u8(block.compress(corpus_34k))
     a = build_ring_plan(comp, len(corpus_34k), nthreads=1)
     b = build_ring_plan(comp, len(corpus_34k), nthreads=4)
-    np.testing.assert_array_equal(a.rec_f0, b.rec_f0)
-    np.testing.assert_array_equal(a.rec_f1, b.rec_f1)
-    np.testing.assert_array_equal(a.rec_f2, b.rec_f2)
     np.testing.assert_array_equal(a.nf_lit, b.nf_lit)
     np.testing.assert_array_equal(a.nf_tot, b.nf_tot)
     np.testing.assert_array_equal(a.litblk, b.litblk)
+    # record slots beyond nf_tot are never read by the kernel and stay
+    # uninitialized by design — compare only live fires
+    live = np.arange(a.rec_f0.shape[2])[None, None, :] < a.nf_tot[:, None, None]
+    for fa, fb in ((a.rec_f0, b.rec_f0), (a.rec_f1, b.rec_f1),
+                   (a.rec_f2, b.rec_f2)):
+        np.testing.assert_array_equal(np.where(live, fa, 0),
+                                      np.where(live, fb, 0))
 
 
 def test_kernel_interpret_matches_sim(corpus_34k):
