@@ -159,7 +159,7 @@ def main() -> None:
     arrs = ring_plan_device_arrays(plan, comp_np)
     arrs = [jnp.asarray(a) for a in arrs]
     ntiles, nblk = arrs[0].shape[0], arrs[3].shape[0] // plan.lit_w
-    nf = arrs[4].shape[2]
+    nf = arrs[4].shape[1]
     f_ring = lambda: ring_decode_jit(
         *arrs, ntiles=ntiles, nblk=nblk, nf=nf
     )

@@ -630,8 +630,8 @@ struct RingTile {
 // [all literals][matches by depth asc], every group padded to a whole
 // RB-record fire so no fire mixes depth groups (a fire reads the table
 // once before its writes — intra-fire dependencies would break).
-// Record k of the stream lands at field arrays [t, k % RB, k / RB]: fire
-// j = k / RB consumes lane j across all RB sublanes.
+// Record k of the stream lands at field arrays [t, k / RB, k % RB]: fire
+// j = k / RB consumes contiguous row j.
 int ring_pack_tile(RingTile& c) {
     const RingShared& g = *c.g;
     const int64_t RB = g.rb;
@@ -665,19 +665,21 @@ int ring_pack_tile(RingTile& c) {
     // execute, so only the pad slots inside each group's fire-rounded span
     // need sentinel stamping (row = tile_rows scatters nowhere, P = 128
     // keeps lane math benign); record slots are overwritten below.
+    //
+    // Layout (ntiles, NF, RB): record k of the stream lands at flat offset
+    // k — fire j = k / RB is a contiguous RB-int32 row, so both the
+    // stamping and the record scatter below are sequential writes.
     for (size_t gi = 0; gi <= (size_t)maxd + 1; gi++) {
         for (int64_t k = base[gi] + cnt[gi]; k < base[gi + 1]; k++) {
-            int64_t at = tbase + (k % RB) * g.nfmax + (k / RB);
-            g.f0[at] = 0;
-            g.f1[at] = 127 << 7;
-            g.f2[at] = g.tile_rows << 7;
+            g.f0[tbase + k] = 0;
+            g.f1[tbase + k] = 127 << 7;
+            g.f2[tbase + k] = g.tile_rows << 7;
         }
     }
     std::vector<int64_t> fill((size_t)maxd + 2, 0);
     for (const auto& r : c.recs) {
         size_t gi = r.cls ? (size_t)r.d + 1 : 0;
-        int64_t k = base[gi] + fill[gi]++;
-        int64_t at = tbase + (k % RB) * g.nfmax + (k / RB);
+        int64_t at = tbase + base[gi] + fill[gi]++;
         g.f0[at] = r.S;
         g.f1[at] = r.ph | ((int32_t)(r.P - 1) << 7) | ((int32_t)r.lo << 14);
         g.f2[at] = (int32_t)(r.len - 1) | ((int32_t)r.row << 7);

@@ -13,8 +13,8 @@ Table layout per tile t (rows of 128 bytes):
   [WR, WR+TR)         the tile being decoded (updated in place)
   [WR+TR, WR+TR+2*LW) literal window: comp rows [litblk[t]*LW, +2*LW)
 
-Record stream semantics (record k -> field arrays [t, k % RB, k / RB], so
-fire j = k // RB consumes lane j across all RB sublanes):
+Record stream semantics (record k -> field arrays [t, k // RB, k % RB], so
+fire j = k // RB consumes the contiguous record row j):
 
   out lane l (lo <= l < lo+len) of row `row` = sub[S + (l+ph) mod P]
 
@@ -55,9 +55,9 @@ PLAN_OVERFLOW_CODES = (-100, -102, -103, -104)
 
 @dataclass
 class RingPlan:
-    rec_f0: np.ndarray  # (ntiles, RB, NF) int32: S
-    rec_f1: np.ndarray  # (ntiles, RB, NF) int32: ph | (P-1)<<7 | lo<<14
-    rec_f2: np.ndarray  # (ntiles, RB, NF) int32: (len-1) | row<<7
+    rec_f0: np.ndarray  # (ntiles, NF, RB) int32: S
+    rec_f1: np.ndarray  # (ntiles, NF, RB) int32: ph | (P-1)<<7 | lo<<14
+    rec_f2: np.ndarray  # (ntiles, NF, RB) int32: (len-1) | row<<7
     nf_lit: np.ndarray  # (ntiles,) int32, literal fires per tile
     nf_tot: np.ndarray  # (ntiles,) int32, total fires per tile
     litblk: np.ndarray  # (ntiles,) int32, literal window block index
@@ -180,7 +180,7 @@ def build_ring_plan_parts(
     # Pooled, uninitialized record arrays: the builder stamps every slot the
     # kernel can read (fires < nf_tot), and zeroing ~50 MB per call costs
     # more than the build itself.
-    f0, f1, f2 = _record_arrays(ntiles, rb, nfmax)
+    f0, f1, f2 = _record_arrays(ntiles, nfmax, rb)
     nf_lit = np.zeros(ntiles, np.int32)
     nf_tot = np.zeros(ntiles, np.int32)
     litblk = np.zeros(ntiles, np.int32)
@@ -256,7 +256,7 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
     comp_rows = _comp_rows(plan, comp).astype(np.int32)
     out = np.zeros((plan.ntiles * TR, 128), np.int32)
     lane = np.arange(128, dtype=np.int32)[None, :]
-    nf = plan.rec_f0.shape[2]
+    nf = plan.rec_f0.shape[1]
 
     for t in range(plan.ntiles):
         tbl = np.zeros((NT, 128), np.int32)
@@ -268,9 +268,9 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
         tbl[WR + TR :] = comp_rows[plan.litblk[t] * LW :][: 2 * LW]
         for j in range(int(plan.nf_tot[t])):
             assert j < nf
-            f0 = plan.rec_f0[t, :, j]
-            f1 = plan.rec_f1[t, :, j]
-            f2 = plan.rec_f2[t, :, j]
+            f0 = plan.rec_f0[t, j, :]
+            f1 = plan.rec_f1[t, j, :]
+            f2 = plan.rec_f2[t, j, :]
             S = f0
             ph = f1 & 127
             P = ((f1 >> 7) & 127) + 1
@@ -351,11 +351,12 @@ def _ring_kernel(nfl_ref, nft_ref, lb_ref, blk0_ref, blk1_ref,
             ).astype(jnp.float32)
 
             def splat(fref):
+                # (NF, RB) contracted with (NF, 128) over NF -> (RB, 128).
                 # HIGHEST precision: the default MXU f32 path is
                 # bf16-precision and rounds >8-bit field values.
                 return jax.lax.dot_general(
                     fref[0].astype(jnp.float32), ohj,
-                    (((1,), (0,)), ((), ())),
+                    (((0,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 ).astype(jnp.int32)
@@ -430,9 +431,9 @@ def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
         in_specs=[
             pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb: (lb[b], 0)),
             pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb: (lb[b] + 1, 0)),
-            pl.BlockSpec((1, RB_, nf), lambda b, nfl, nft, lb: (b, 0, 0)),
-            pl.BlockSpec((1, RB_, nf), lambda b, nfl, nft, lb: (b, 0, 0)),
-            pl.BlockSpec((1, RB_, nf), lambda b, nfl, nft, lb: (b, 0, 0)),
+            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb: (b, 0, 0)),
+            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb: (b, 0, 0)),
+            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TR, 128), lambda b, nfl, nft, lb: (b, 0)),
         scratch_shapes=[pltpu.VMEM((NT, 128), dt)],
@@ -473,7 +474,7 @@ def decode_block_ring(comp, total_out: int, *, plan: RingPlan | None = None,
     arrs = ring_plan_device_arrays(plan, comp)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
                           nblk=arrs[3].shape[0] // plan.lit_w,
-                          nf=arrs[4].shape[2], interpret=interpret)
+                          nf=arrs[4].shape[1], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
@@ -529,7 +530,7 @@ def decode_parts_ring(
     arrs = ring_plan_device_arrays(plan, comp)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
                           nblk=arrs[3].shape[0] // plan.lit_w,
-                          nf=arrs[4].shape[2], interpret=interpret)
+                          nf=arrs[4].shape[1], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
@@ -547,15 +548,15 @@ def ring_plan_device_arrays(plan: RingPlan, comp):
     nft[: plan.ntiles] = plan.nf_tot
     lb = np.zeros(nt, np.int32)
     lb[: plan.ntiles] = plan.litblk
-    nf = plan.rec_f0.shape[2]
+    nf = plan.rec_f0.shape[1]
     if nt == plan.ntiles:
         f0, f1, f2 = plan.rec_f0, plan.rec_f1, plan.rec_f2
     else:
-        f0 = np.zeros((nt, plan.rb, nf), np.int32)
+        f0 = np.zeros((nt, nf, plan.rb), np.int32)
         f0[: plan.ntiles] = plan.rec_f0
-        f1 = np.zeros((nt, plan.rb, nf), np.int32)
+        f1 = np.zeros((nt, nf, plan.rb), np.int32)
         f1[: plan.ntiles] = plan.rec_f1
-        f2 = np.zeros((nt, plan.rb, nf), np.int32)
+        f2 = np.zeros((nt, nf, plan.rb), np.int32)
         f2[: plan.ntiles] = plan.rec_f2
     rows = _comp_rows(plan, comp)
     nblk = _bucket(rows.shape[0] // plan.lit_w, 16)
@@ -566,10 +567,10 @@ def ring_plan_device_arrays(plan: RingPlan, comp):
 
 def ring_decode_jit(nfl, nft, lb, crows, f0, f1, f2, *, ntiles, nblk, nf,
                     interpret=False):
-    key = (ntiles, nblk, nf, f0.shape[1], bool(interpret))
+    key = (ntiles, nblk, nf, f0.shape[2], bool(interpret))
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
-        fn = _kernel_call(ntiles, nblk, nf, RB_=f0.shape[1],
+        fn = _kernel_call(ntiles, nblk, nf, RB_=f0.shape[2],
                           interpret=interpret)
         _KERNEL_CACHE[key] = fn
     return fn(nfl, nft, lb, crows, f0, f1, f2)

@@ -135,7 +135,7 @@ def test_plan_deterministic_across_threads(corpus_34k):
     np.testing.assert_array_equal(a.litblk, b.litblk)
     # record slots beyond nf_tot are never read by the kernel and stay
     # uninitialized by design — compare only live fires
-    live = np.arange(a.rec_f0.shape[2])[None, None, :] < a.nf_tot[:, None, None]
+    live = np.arange(a.rec_f0.shape[1])[None, :, None] < a.nf_tot[:, None, None]
     for fa, fb in ((a.rec_f0, b.rec_f0), (a.rec_f1, b.rec_f1),
                    (a.rec_f2, b.rec_f2)):
         np.testing.assert_array_equal(np.where(live, fa, 0),
