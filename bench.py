@@ -319,6 +319,22 @@ def main() -> None:
     except Exception as e:  # encode context must not sink the headline
         print(f"encode bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---- production encode: hybrid (device candidate search + host walk) ---
+    try:
+        from lz4_flex_tpu.ops import compress_block_hybrid
+
+        hcomp = compress_block_hybrid(data)
+        henc_ok = block.decompress(hcomp, n) == data
+        t_hyb = median_time(lambda: compress_block_hybrid(data), iters=5)
+        print(
+            f"encode hybrid 10MB (pooled-plane device search + native walk): "
+            f"{t_hyb*1e3:.0f} ms -> {n/t_hyb/2**20:.1f} MiB/s, "
+            f"ratio {len(hcomp)/n:.4f} (native {ratio:.4f}), ok={henc_ok}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"hybrid encode bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     value = mibs if ok else 0.0
     print(
         json.dumps(

