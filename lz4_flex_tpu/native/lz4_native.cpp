@@ -733,19 +733,22 @@ inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
 // here). Distinct sources [src_lo, src_hi) drive the depth.
 inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
                            int32_t P, int32_t ph, int64_t src_lo,
-                           int64_t src_hi) {
+                           int64_t src_hi, int32_t d_pre = -1) {
     const RingShared& g = *c.g;
     int64_t S_local = S_out - c.ring_base;
     if (S_local < 0 ||
         S_local >= (((int64_t)g.window_rows + g.tile_rows) << 7))
         return TLZ4_PLAN_OVERFLOW;
-    int64_t lo_s = src_lo < c.ts ? c.ts : src_lo;
-    int32_t d = 0;
-    if (lo_s < src_hi) {
-        uint8_t m = 0;
-        const uint8_t* dp = g.depth;
-        for (int64_t s = lo_s; s < src_hi; s++) m = dp[s] > m ? dp[s] : m;
-        d = (int32_t)m + 1;
+    int32_t d = d_pre;  // caller already scanned the identical source range
+    if (d < 0) {
+        int64_t lo_s = src_lo < c.ts ? c.ts : src_lo;
+        d = 0;
+        if (lo_s < src_hi) {
+            uint8_t m = 0;
+            const uint8_t* dp = g.depth;
+            for (int64_t s = lo_s; s < src_hi; s++) m = dp[s] > m ? dp[s] : m;
+            d = (int32_t)m + 1;
+        }
     }
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
     std::memset(g.depth + p0, d, (size_t)len);
@@ -756,7 +759,8 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
 // Plain (non-periodic) piece: lane l reads s0 + (l - lo). The row-normalized
 // base s0 - lo can undershoot the ring by < 128 bytes (offset near 64 KiB
 // plus a high lane_lo); compensate with the phase field.
-inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0) {
+inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0,
+                           int32_t d_pre = -1) {
     int32_t lo = (int32_t)(p0 & 127);
     int64_t S = s0 - lo;
     int32_t ph = 0;
@@ -766,7 +770,7 @@ inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0) {
         ph = (int32_t)(128 - delta);  // byte(l) = (l+ph) mod 128 = l - delta
         S = c.ring_base;              // ... for real lanes (l >= delta)
     }
-    return ring_emit_match(c, p0, span, S, 128, ph, s0, s0 + span);
+    return ring_emit_match(c, p0, span, S, 128, ph, s0, s0 + span, d_pre);
 }
 
 // Emit one match row-piece [p0, p0+span) using the tile-local origin map:
@@ -841,14 +845,15 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
             return 0;
         }
     }
-    // raw forms
+    // raw forms (d_raw already covers the identical source ranges)
     if (off <= 128 && rel + span > off) {
         // periodic raw record anchored at a period-aligned window
         int32_t lo = (int32_t)(p0 & 127);
         int64_t A = m0 - off;
         if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
         int32_t ph = (int32_t)(((rel - lo) % off + off) % off);
-        return ring_emit_match(c, p0, span, A, (int32_t)off, ph, A, A + off);
+        return ring_emit_match(c, p0, span, A, (int32_t)off, ph, A, A + off,
+                               d_raw);
     }
     if (rel + span > off && off > 128) {
         // self-overlap wrap: <= 2 plain records on period-aligned copies
@@ -868,7 +873,7 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
         }
         return 0;
     }
-    return ring_emit_plain(c, p0, span, p0 - off);
+    return ring_emit_plain(c, p0, span, p0 - off, d_raw);
 }
 
 // Pass 1: serial token walk over every block into a global sequence table.
@@ -992,9 +997,18 @@ std::atomic<int64_t> prof_emit_ns{0}, prof_pack_ns{0}, prof_recs{0};
 int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
                     const RingWatermark* wm, int32_t t) {
     auto tt0 = std::chrono::steady_clock::now();
+    // Per-worker reusable record buffer: capacity persists across tiles
+    // and calls (a fresh vector per tile costs alloc + fault churn).
+    static thread_local std::vector<RingRec> recs_tls;
     RingTile c;
     c.g = &g;
     c.t = t;
+    c.recs.swap(recs_tls);
+    c.recs.clear();
+    struct RecsGuard {  // swap the buffer back on every return path
+        std::vector<RingRec>*a, *b;
+        ~RecsGuard() { a->swap(*b); }
+    } recs_guard{&c.recs, &recs_tls};
     c.ts = ((int64_t)t * g.tile_rows) << 7;
     c.te = c.ts + (((int64_t)g.tile_rows) << 7);
     c.ring_base = c.ts - (((int64_t)g.window_rows) << 7);
@@ -1118,7 +1132,14 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     // Worst-case capacity so push_back never reallocates while tile workers
     // read concurrently: every non-final sequence consumes >= 3 comp bytes
     // (token + 2-byte offset), plus one short final sequence per block.
-    std::vector<RingSeq> seqs;
+    // thread_local + clear(): capacity (and its faulted-in pages) persists
+    // across calls — fresh per-call vectors cost a page-fault storm.
+    // CAREFUL: lambdas do NOT capture thread_local statics — each worker
+    // would silently resolve `seqs` to its own empty instance (observed
+    // segfault). Workers must go through this caller-thread reference.
+    static thread_local std::vector<RingSeq> seqs_tls;
+    std::vector<RingSeq>& seqs = seqs_tls;
+    seqs.clear();
     seqs.reserve(input_len / 3 + (size_t)nblocks + 8);
 
     RingShared g{tile_rows, window_rows, lit_w, ntiles, rb, nfmax,

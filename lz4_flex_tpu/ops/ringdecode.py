@@ -44,7 +44,9 @@ from ..block import errors as block_errors
 TILE_ROWS = 256  # 32 KiB output tile
 WINDOW_ROWS = 512  # 64 KiB LZ4 window
 LIT_W = 272  # literal window block; two blocks span 69.6 KiB of comp
-RB = 256  # records per fire
+RB = 256  # records per fire. Measured RB=512 SLOWER (31.4 vs 27.0 ms kernel
+#           on the 10 MB corpus): depth-group padding waste and the larger
+#           one-hot scatter outgrow the per-fire fixed cost.
 NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry below on overflow)
 NFMAX_RETRY = 160  # hard cap (overflow -> fallback engine)
 RESOLVE_MIN_DEPTH = 3
