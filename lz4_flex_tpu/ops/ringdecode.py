@@ -389,19 +389,17 @@ def _ring_kernel(nfl_ref, nft_ref, lb_ref, blk0_ref, blk1_ref,
             gB = jnp.take_along_axis(B, qm, axis=1)
             byte = jnp.where(q < 128, gA, gB)
             inr = (row < TR) & (lane >= lo) & (lane <= lo + lenm1)
-            mb = jnp.where(inr, byte, 0).astype(dt)
-            mi = jnp.where(inr, 1, 0).astype(dt)
+            # byte+1 packs value and coverage into ONE one-hot scatter:
+            # each output lane has a single writer per fire, and integers
+            # <= 256 are exact in bf16, so scat in {0} u [1, 256].
+            mb = jnp.where(inr, byte + 1, 0).astype(dt)
             ohr = jnp.where(rowsTR == row[:, 0:1], 1.0, 0.0).astype(dt)
             scat = jax.lax.dot_general(
                 ohr, mb, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
-            cov = jax.lax.dot_general(
-                ohr, mi, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
             cur = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
-            new = jnp.where(cov > 0, scat, cur)
+            new = jnp.where(scat > 0, scat - 1, cur)
             tbl_ref[WR : WR + TR, :] = new.astype(dt)
             return carry
 

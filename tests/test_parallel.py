@@ -66,6 +66,29 @@ def test_encode_blocks_sharded_linked():
     assert sum(map(len, payloads)) <= sum(map(len, indep))
 
 
+def test_encode_blocks_sharded_hybrid_single_device():
+    # A 1-device mesh with chunk-scale blocks routes through the hybrid
+    # encoder (device candidate search + native walk) instead of shard_map
+    # (parallel/pipeline.py single-device branch); payloads must stay
+    # host-decodable, independent and linked.
+    from jax.sharding import Mesh
+
+    from lz4_flex_tpu.ops.encode import _CHUNK_C
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("blocks",))
+    data = _data(_CHUNK_C + 70000)  # two blocks, second partial
+    for linked in (False, True):
+        payloads, lens = encode_blocks_sharded(
+            data, _CHUNK_C, linked=linked, mesh=mesh1
+        )
+        assert sum(lens) == len(data) and len(payloads) == 2
+        pos = 0
+        for comp, blen in zip(payloads, lens):
+            d = data[max(0, pos - 65536) : pos] if linked else b""
+            assert block.decompress_with_dict(comp, blen, d) == data[pos : pos + blen]
+            pos += blen
+
+
 def test_decode_blocks_sharded():
     data = _data()
     payloads = []
