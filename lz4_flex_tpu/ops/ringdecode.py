@@ -49,7 +49,11 @@ RB = 256  # records per fire. Measured RB=512 SLOWER (31.4 vs 27.0 ms kernel
 #           one-hot scatter outgrow the per-fire fixed cost.
 NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry below on overflow)
 NFMAX_RETRY = 160  # hard cap (overflow -> fallback engine)
-RESOLVE_MIN_DEPTH = 3
+# Host-side chain resolution threshold: resolving SHALLOW chains is
+# counterproductive (run-splitting adds records/fires while raw records stay
+# single) — measured on the 10 MB corpus: min_depth 3 -> 33 ms plan / 7567
+# fires, min_depth 5 -> 29 ms / 7085. Keep resolution for deep chains only.
+RESOLVE_MIN_DEPTH = 5
 RESOLVE_RUNS = 6
 
 PLAN_OVERFLOW_CODES = (-100, -102, -103, -104)
