@@ -276,6 +276,41 @@ def main() -> None:
     except Exception as e:
         print(f"frame-batched bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Production frame decode: the same 160x64KiB body through the ring
+    # engine (one whole-frame plan; linked-window/stored-block semantics
+    # ride the kernel's output ring) — what FrameDecoder engine="device"
+    # and decompress_frame_device actually run.
+    try:
+        from lz4_flex_tpu.ops.ringdecode import (
+            build_ring_plan_parts,
+            decode_parts_ring,
+        )
+
+        parts = [(np.frombuffer(p, np.uint8), True) for p in payloads]
+        ok_fr = decode_parts_ring(parts, independent=True) == data
+        planf, compf = build_ring_plan_parts(parts, n, independent=True)
+        arrs_f = [
+            jnp.asarray(a) for a in ring_plan_device_arrays(planf, compf)
+        ]
+        f_fr = lambda: ring_decode_jit(
+            *arrs_f, ntiles=arrs_f[0].shape[0],
+            nblk=arrs_f[3].shape[0] // planf.lit_w, nf=arrs_f[4].shape[1],
+        )
+        t_frk = device_time(f_fr, sync=lambda r: r[:1, :1])
+        t_frp = median_time(
+            lambda: build_ring_plan_parts(parts, n, independent=True), iters=5
+        )
+        t_frs = max(t_frk, t_frp)
+        print(
+            f"decode frame ring engine (160x64KiB whole-frame plan): "
+            f"kernel {t_frk*1e3:.1f} ms | host plan {t_frp*1e3:.1f} ms -> "
+            f"{n/t_frs/2**20:.0f} MiB/s steady state, ok={ok_fr} "
+            f"(end-to-end bytes-out is d2h-tunnel-bound on this dev setup)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"frame ring bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # ---- device encode (resident, 448 KiB chunk kernel) -------------------
     try:
         from lz4_flex_tpu.ops.encode import (

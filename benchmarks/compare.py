@@ -82,6 +82,13 @@ def main():
                 )
             )
 
+    if args.device:
+        print(
+            "note: device rows at these corpus sizes (1-66 KB) are bound by "
+            "per-call dispatch latency\n(the axon dev tunnel adds ~10-30 ms "
+            "RPC per call); bench.py measures the big-buffer\nsteady state "
+            "the engines are built for.",
+        )
     print(f"{'config':<24} {'comp MiB/s':>12} {'decomp MiB/s':>13} {'ratio':>8}")
     for cfg, c, d, r in rows:
         print(f"{cfg:<24} {c:>12.0f} {d:>13.0f} {r:>8.4f}")
