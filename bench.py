@@ -117,7 +117,6 @@ def main() -> None:
     from lz4_flex_tpu.ops.decode import (
         _expand2_kernel,
         _expand_kernel,
-        decode_resident,
         default_expand_engine,
     )
     from lz4_flex_tpu.ops.sequences import parse_sequences_host
@@ -158,8 +157,8 @@ def main() -> None:
         raise SystemExit("ring plan overflow on the bench corpus")
     arrs = ring_plan_device_arrays(plan, comp_np)
     arrs = [jnp.asarray(a) for a in arrs]
-    ntiles, nblk = arrs[0].shape[0], arrs[3].shape[0] // plan.lit_w
-    nf = arrs[4].shape[1]
+    ntiles, nblk = arrs[0].shape[0], arrs[4].shape[0] // plan.lit_w
+    nf = arrs[5].shape[1]
     f_ring = lambda: ring_decode_jit(
         *arrs, ntiles=ntiles, nblk=nblk, nf=nf
     )
@@ -201,80 +200,13 @@ def main() -> None:
     except Exception as e:
         print(f"XLA-expand bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # Fully-on-device (on-device parse + expand, no host) — capability path.
-    try:
-        from lz4_flex_tpu.ops.parse import default_parse_engine
+    # (The "fused-resident" on-device-parse path and the vmap'd
+    # "frame-batched" path were retired from the bench in round 3: at 2-5
+    # MiB/s with 45 s first compiles they are production-irrelevant — the
+    # XLA expansion engine above remains the measured non-TPU fallback.)
 
-        f_res = lambda: decode_resident(
-            comp_dev,
-            clen,
-            out_pad=out_pad,
-            nseq_pad=nseq_pad,
-            parse_engine=default_parse_engine(),
-        )
-        t0 = time.perf_counter()
-        jax.block_until_ready(f_res())
-        t_first = time.perf_counter() - t0
-        t_res = device_time(f_res, sync=lambda r: r[0][:1], iters=4, warmup=1)
-        print(
-            f"decode fused-resident (on-device parse): {t_res*1e3:.0f} ms "
-            f"({n/t_res/2**20:.0f} MiB/s; first call {t_first:.1f}s)",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"fused-resident failed: {type(e).__name__}: {e}", file=sys.stderr)
-
-    # ---- frame path: batched independent 64 KiB blocks --------------------
-    # The production pipeline shape (BASELINE config #3): blocks batch on
-    # the device, parse runs as lockstep sequential walks, expansion is
-    # vectorized per block.
-    try:
-        from functools import partial as _partial
-
-        from lz4_flex_tpu.ops.decode import decode_resident_core
-        from lz4_flex_tpu.ops.parse import default_parse_engine
-
-        bs = 65536
-        payloads = [
-            block.compress(data[i : i + bs]) for i in range(0, n, bs)
-        ]
-        width = packing.size_bucket(max(len(p) for p in payloads))
-        rows = np.zeros((len(payloads), width), np.uint8)
-        lens = np.zeros(len(payloads), np.int32)
-        for i, p in enumerate(payloads):
-            rows[i, : len(p)] = np.frombuffer(p, np.uint8)
-            lens[i] = len(p)
-        f_blk = jax.jit(
-            jax.vmap(
-                _partial(
-                    decode_resident_core,
-                    out_pad=bs,
-                    nseq_pad=packing.size_bucket(width // 3 + 2, minimum=256),
-                    parse_engine=default_parse_engine(),
-                )
-            )
-        )
-        rows_dev = jnp.asarray(rows)
-        lens_dev = jnp.asarray(lens)
-        outb, totb, errb = f_blk(rows_dev, lens_dev)
-        ok_b = (
-            not np.asarray(errb).any()
-            and b"".join(
-                np.asarray(outb[i, : int(t)]).tobytes()
-                for i, t in enumerate(np.asarray(totb))
-            )
-            == data
-        )
-        t_blk = device_time(
-            lambda: f_blk(rows_dev, lens_dev), sync=lambda r: r[1][:1], iters=8
-        )
-        print(
-            f"decode frame-batched (160x64KiB, on-device parse+expand): "
-            f"{t_blk*1e3:.1f} ms -> {n/t_blk/2**20:.0f} MiB/s, ok={ok_b}",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"frame-batched bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    bs = 65536
+    payloads = [block.compress(data[i : i + bs]) for i in range(0, n, bs)]
 
     # Production frame decode: the same 160x64KiB body through the ring
     # engine (one whole-frame plan; linked-window/stored-block semantics
@@ -294,7 +226,7 @@ def main() -> None:
         ]
         f_fr = lambda: ring_decode_jit(
             *arrs_f, ntiles=arrs_f[0].shape[0],
-            nblk=arrs_f[3].shape[0] // planf.lit_w, nf=arrs_f[4].shape[1],
+            nblk=arrs_f[4].shape[0] // planf.lit_w, nf=arrs_f[5].shape[1],
         )
         t_frk = device_time(f_fr, sync=lambda r: r[:1, :1])
         t_frp = median_time(

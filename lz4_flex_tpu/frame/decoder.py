@@ -60,10 +60,14 @@ def _is_any_magic(word: int) -> bool:
 class FrameDecoder(io.RawIOBase):
     """A reader decompressing an LZ4 frame from an underlying stream."""
 
-    #: device engine: max blocks batched per dispatch and the payload-bytes
-    #: budget that bounds read-ahead memory (8 MiB ≈ one legacy block).
+    #: device engine: max blocks batched per dispatch, the payload-bytes
+    #: budget that bounds read-ahead memory (8 MiB ≈ one legacy block), and
+    #: the projected-decoded-bytes budget that bounds the dispatch's output
+    #: plus plan scratch (without it, 32 highly-compressible legacy blocks
+    #: could decode to ~256 MiB in one batch).
     DEVICE_BATCH_BLOCKS = 32
     DEVICE_BATCH_BYTES = 8 * 1024 * 1024
+    DEVICE_BATCH_DECODED_BYTES = 32 * 1024 * 1024
 
     def __init__(self, r, *, engine: str = "host", mesh=None) -> None:
         super().__init__()
@@ -213,8 +217,13 @@ class FrameDecoder(io.RawIOBase):
         max_block_size = fi.block_size.get_size()
         parts: list[tuple[bytes, bool]] = []
         total = 0
+        projected = 0  # decoded-bytes upper bound (stored: exact; else max)
 
-        while len(parts) < self.DEVICE_BATCH_BLOCKS and total <= self.DEVICE_BATCH_BYTES:
+        while (
+            len(parts) < self.DEVICE_BATCH_BLOCKS
+            and total <= self.DEVICE_BATCH_BYTES
+            and projected < self.DEVICE_BATCH_DECODED_BYTES
+        ):
             word_bytes = self._read_upto(4)
             if len(word_bytes) == 0:
                 if parts:
@@ -237,6 +246,7 @@ class FrameDecoder(io.RawIOBase):
                 comp = self._read_exact(word)
                 parts.append((comp, True))
                 total += word
+                projected += 8 * 1024 * 1024  # legacy max block size
                 continue
 
             info = BlockInfo.read(word_bytes)
@@ -254,6 +264,11 @@ class FrameDecoder(io.RawIOBase):
                 self._check_block_checksum(payload)
             parts.append((payload, info.kind is BlockInfoKind.Compressed))
             total += info.size
+            projected += (
+                max_block_size
+                if info.kind is BlockInfoKind.Compressed
+                else info.size
+            )
 
         out = self._decode_parts_device(parts, max_block_size)
         self._append_output(out)

@@ -6,7 +6,17 @@
 // a sequence-table parser that feeds the TPU decode kernels. All functions are
 // exposed through a C ABI consumed via ctypes.
 //
-// This is a from-scratch implementation of the public LZ4 block format
+// Attribution: tlz4_compress_block below intentionally mirrors the canonical
+// greedy LZ4 match-search structure — skip-accelerated probe loop, hash-table
+// insert/probe order, backward extension, the cur-2 re-insert — as found in
+// upstream lz4 C and in the reference (lz4_flex src/block/compress.rs:318-489,
+// src/block/hashtable.rs), including the standard hash constants. It exists as
+// the host-side ORACLE and fallback that the TPU encode paths are verified
+// against, so structural fidelity to the canonical algorithm is the point; the
+// TPU-native encoders (ops/encode.py: exact sort-based candidate search,
+// jump-graph greedy, device emission) are original designs. Everything else in
+// this file (token-walk decoders, the ring-plan builder, the hybrid walk) is
+// implemented from the public LZ4 block format spec
 // (https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md).
 
 #include <cstdint>
@@ -609,8 +619,11 @@ struct RingShared {
     int32_t rb, nfmax;   // records per fire, max fires per tile
     int32_t resolve_min_depth, resolve_runs;
     int64_t expected_out;
-    int32_t* f0; int32_t* f1; int32_t* f2;  // (ntiles, rb, nfmax) records
+    int32_t* f0; int32_t* f1; int32_t* f2;  // (ntiles, nfmax, rb) records
     int32_t* nf_lit; int32_t* nf_tot;       // per-tile fire counts
+    int32_t* fper;    // (ntiles, (nfmax+31)/32) bitmask: fire has a P<128
+                      // (periodic) record -> the kernel's slow (lane+ph)%P
+                      // path; unset fires take the &127 fast path
     int32_t* litblk;
     uint8_t* depth;   // (expected_out) per-byte fire depth
     int32_t* origin;  // (expected_out) tile-local origin:
@@ -649,16 +662,33 @@ int ring_pack_tile(RingTile& c) {
         if (r.cls == 0) nlit++;
         else if (r.d > maxd) maxd = r.d;
     }
-    // group 0 = literals, group 1+d = matches of depth d
-    std::vector<int64_t> cnt((size_t)maxd + 2, 0);
-    cnt[0] = nlit;
-    for (const auto& r : c.recs) if (r.cls) cnt[(size_t)r.d + 1]++;
+    // group 0 = literals, group 1+d = matches of depth d. Periodic records
+    // (P < 128 — wrapped self-overlap matches) sort to each group's tail so
+    // only the fires overlapping that tail pay the kernel's (lane+ph)%P
+    // vector-division path; every other fire takes &127 (measured 1.27
+    // us/fire cheaper — experiments/fire_ablate3.py). Order within a depth
+    // group is free: each output lane has exactly one writer per tile.
+    std::vector<int64_t> cnt((size_t)maxd + 2, 0), nper((size_t)maxd + 2, 0);
+    cnt[0] = nlit;  // literals always carry P == 128 (ring_emit_lit)
+    for (const auto& r : c.recs)
+        if (r.cls) {
+            cnt[(size_t)r.d + 1]++;
+            if (r.P != 128) nper[(size_t)r.d + 1]++;
+        }
     std::vector<int64_t> base((size_t)maxd + 3, 0);
     for (int32_t i = 0; i <= maxd + 1; i++)
         base[i + 1] = base[i] + ((cnt[i] + RB - 1) / RB) * RB;
     if (base[maxd + 2] > cap) return TLZ4_PLAN_OVF_SLOT;
     g.nf_lit[c.t] = (int32_t)(base[1] / RB);
     g.nf_tot[c.t] = (int32_t)(base[(size_t)maxd + 2] / RB);
+    const int32_t nfw = (g.nfmax + 31) / 32;
+    for (size_t gi = 0; gi <= (size_t)maxd + 1; gi++) {
+        if (!nper[gi]) continue;
+        int64_t flo = (base[gi] + cnt[gi] - nper[gi]) / RB;
+        int64_t fhi = (base[gi] + cnt[gi] - 1) / RB;
+        for (int64_t f = flo; f <= fhi; f++)
+            g.fper[(int64_t)c.t * nfw + (f >> 5)] |= 1 << (f & 31);
+    }
     const int64_t tbase = (int64_t)c.t * cap;
     // The arrays arrive uninitialized (np.empty — zeroing them per call
     // costs more than the build itself) and fires beyond nf_tot never
@@ -676,10 +706,14 @@ int ring_pack_tile(RingTile& c) {
             g.f2[tbase + k] = g.tile_rows << 7;
         }
     }
-    std::vector<int64_t> fill((size_t)maxd + 2, 0);
+    // Scatter: plain records fill from each group's base, periodic ones
+    // from its tail partition (cnt - nper onward).
+    std::vector<int64_t> fill((size_t)maxd + 2, 0), fillp((size_t)maxd + 2, 0);
     for (const auto& r : c.recs) {
         size_t gi = r.cls ? (size_t)r.d + 1 : 0;
-        int64_t at = tbase + base[gi] + fill[gi]++;
+        bool per = r.cls && r.P != 128;
+        int64_t k = per ? cnt[gi] - nper[gi] + fillp[gi]++ : fill[gi]++;
+        int64_t at = tbase + base[gi] + k;
         g.f0[at] = r.S;
         g.f1[at] = r.ph | ((int32_t)(r.P - 1) << 7) | ((int32_t)r.lo << 14);
         g.f2[at] = (int32_t)(r.len - 1) | ((int32_t)r.row << 7);
@@ -1119,7 +1153,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     int32_t ntiles, int32_t resolve_min_depth, int32_t resolve_runs,
     int32_t nthreads,
     int32_t* f0, int32_t* f1, int32_t* f2,
-    int32_t* nf_lit, int32_t* nf_tot, int32_t* litblk,
+    int32_t* nf_lit, int32_t* nf_tot, int32_t* fper, int32_t* litblk,
     uint8_t* depth, int32_t* origin, int64_t* total_out)
 {
     const bool prof = std::getenv("TLZ4_PLAN_PROF") != nullptr;
@@ -1144,7 +1178,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
 
     RingShared g{tile_rows, window_rows, lit_w, ntiles, rb, nfmax,
                  resolve_min_depth, resolve_runs, expected_out,
-                 f0, f1, f2, nf_lit, nf_tot, litblk, depth, origin};
+                 f0, f1, f2, nf_lit, nf_tot, fper, litblk, depth, origin};
     RingWatermark wm;
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};

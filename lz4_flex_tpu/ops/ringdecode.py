@@ -66,6 +66,8 @@ class RingPlan:
     rec_f2: np.ndarray  # (ntiles, NF, RB) int32: (len-1) | row<<7
     nf_lit: np.ndarray  # (ntiles,) int32, literal fires per tile
     nf_tot: np.ndarray  # (ntiles,) int32, total fires per tile
+    fper: np.ndarray  # (ntiles, ceil(NF/32)) int32 bitmask: fire holds a
+    #                   periodic (P<128) record -> kernel takes the %P path
     litblk: np.ndarray  # (ntiles,) int32, literal window block index
     total_out: int
     ntiles: int
@@ -74,6 +76,24 @@ class RingPlan:
     window_rows: int = WINDOW_ROWS
     lit_w: int = LIT_W
     rb: int = RB
+
+    # Pool-lifetime stamp: the record arrays come from a 2-generation
+    # rotating pool (`_record_arrays`), so the SECOND subsequent build on the
+    # same thread reuses them. seq is this plan's generation, seq_holder[0]
+    # the thread's latest; check_live() fails loudly instead of letting a
+    # stale plan upload corrupted records.
+    seq: int = 0
+    seq_holder: object = None
+
+    def check_live(self) -> None:
+        if self.seq_holder is not None and self.seq_holder[0] - self.seq >= 2:
+            raise RuntimeError(
+                "RingPlan invalidated: its pooled record arrays were reused "
+                f"by a later build_ring_plan call on this thread (built at "
+                f"generation {self.seq}, pool now at {self.seq_holder[0]}). "
+                "Upload each plan before building two more, or copy the "
+                "record arrays out."
+            )
 
 
 def _native_lib():
@@ -91,7 +111,7 @@ def _native_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
-            i32p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p, i32p, i32p, i32p,
             u8p, i32p, i64p,
         ]
         lib.tlz4_build_ring_plan2._tlz4_configured = True
@@ -115,8 +135,8 @@ def _chase_scratch(n: int):
     return cur
 
 
-def _record_arrays(ntiles: int, rb: int, nfmax: int):
-    """Per-thread rotating pool for the plan's record field arrays.
+def _record_arrays(ntiles: int, nfmax: int, rb: int):
+    """Per-thread rotating pool for the plan's (ntiles, NF, RB) record arrays.
 
     Fresh ``np.empty`` of ~50 MB per build costs a page-fault storm per
     call; reuse avoids it. Two generations rotate so the arrays of the
@@ -124,18 +144,25 @@ def _record_arrays(ntiles: int, rb: int, nfmax: int):
     steady state (upload buffer i while building i+1) never aliases. A plan
     is invalidated by the SECOND subsequent build on the same thread;
     callers that pipeline deeper must copy the record arrays out.
+
+    Returns (arrays, seq_holder, seq): ``seq`` is this build's generation
+    number and ``seq_holder[0]`` the thread's latest — a plan is live while
+    ``seq_holder[0] - seq < 2`` (checked at kernel upload, see
+    :meth:`RingPlan.check_live`).
     """
     gens = getattr(_scratch, "plan_gens", None)
     if gens is None:
         gens = _scratch.plan_gens = [None, None]
         _scratch.plan_idx = 0
+        _scratch.plan_seq = [0]
     _scratch.plan_idx ^= 1
+    _scratch.plan_seq[0] += 1
     cur = gens[_scratch.plan_idx]
-    shape = (ntiles, rb, nfmax)
+    shape = (ntiles, nfmax, rb)
     if cur is None or cur[0].shape != shape:
         cur = tuple(np.empty(shape, np.int32) for _ in range(3))
         gens[_scratch.plan_idx] = cur
-    return cur
+    return cur, _scratch.plan_seq, _scratch.plan_seq[0]
 
 
 def build_ring_plan_parts(
@@ -186,9 +213,10 @@ def build_ring_plan_parts(
     # Pooled, uninitialized record arrays: the builder stamps every slot the
     # kernel can read (fires < nf_tot), and zeroing ~50 MB per call costs
     # more than the build itself.
-    f0, f1, f2 = _record_arrays(ntiles, nfmax, rb)
+    (f0, f1, f2), seq_holder, seq = _record_arrays(ntiles, nfmax, rb)
     nf_lit = np.zeros(ntiles, np.int32)
     nf_tot = np.zeros(ntiles, np.int32)
+    fper = np.zeros((ntiles, (nfmax + 31) // 32), np.int32)
     litblk = np.zeros(ntiles, np.int32)
     depth, origin = _chase_scratch(total_out)
     tot = np.zeros(1, np.int64)
@@ -207,7 +235,7 @@ def build_ring_plan_parts(
         f0.ctypes.data_as(i32p), f1.ctypes.data_as(i32p),
         f2.ctypes.data_as(i32p),
         nf_lit.ctypes.data_as(i32p), nf_tot.ctypes.data_as(i32p),
-        litblk.ctypes.data_as(i32p),
+        fper.ctypes.data_as(i32p), litblk.ctypes.data_as(i32p),
         depth.ctypes.data_as(u8p), origin.ctypes.data_as(i32p),
         tot.ctypes.data_as(i64p),
     )
@@ -229,8 +257,8 @@ def build_ring_plan_parts(
     if int(tot[0]) != total_out:
         raise block_errors.OutputTooSmall(int(tot[0]), total_out)
     plan = RingPlan(
-        f0, f1, f2, nf_lit, nf_tot, litblk, total_out, ntiles,
-        tile_rows, window_rows, lit_w, rb,
+        f0, f1, f2, nf_lit, nf_tot, fper, litblk, total_out, ntiles,
+        tile_rows, window_rows, lit_w, rb, seq, seq_holder,
     )
     return plan, comp
 
@@ -322,9 +350,9 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
 # updating the tile region in place.
 
 
-def _ring_kernel(nfl_ref, nft_ref, lb_ref, blk0_ref, blk1_ref,
+def _ring_kernel(nfl_ref, nft_ref, lb_ref, fp_ref, blk0_ref, blk1_ref,
                  f0_ref, f1_ref, f2_ref, out_ref, tbl_ref,
-                 *, TR, WR, LW, RB_, NF, dt):
+                 *, TR, WR, LW, RB_, NF, NFW, dt):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -387,24 +415,40 @@ def _ring_kernel(nfl_ref, nft_ref, lb_ref, blk0_ref, blk1_ref,
                 oh1, sub, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
-            q = (S & 127) + (lane + ph) % P
-            qm = q & 127
-            gA = jnp.take_along_axis(A, qm, axis=1)
-            gB = jnp.take_along_axis(B, qm, axis=1)
-            byte = jnp.where(q < 128, gA, gB)
-            inr = (row < TR) & (lane >= lo) & (lane <= lo + lenm1)
-            # byte+1 packs value and coverage into ONE one-hot scatter:
-            # each output lane has a single writer per fire, and integers
-            # <= 256 are exact in bf16, so scat in {0} u [1, 256].
-            mb = jnp.where(inr, byte + 1, 0).astype(dt)
-            ohr = jnp.where(rowsTR == row[:, 0:1], 1.0, 0.0).astype(dt)
-            scat = jax.lax.dot_general(
-                ohr, mb, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            cur = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
-            new = jnp.where(scat > 0, scat - 1, cur)
-            tbl_ref[WR : WR + TR, :] = new.astype(dt)
+
+            def tail(q):
+                qm = q & 127
+                gA = jnp.take_along_axis(A, qm, axis=1)
+                gB = jnp.take_along_axis(B, qm, axis=1)
+                byte = jnp.where(q < 128, gA, gB)
+                inr = (row < TR) & (lane >= lo) & (lane <= lo + lenm1)
+                # byte+1 packs value and coverage into ONE one-hot scatter:
+                # each output lane has a single writer per fire, and integers
+                # <= 256 are exact in bf16, so scat in {0} u [1, 256].
+                mb = jnp.where(inr, byte + 1, 0).astype(dt)
+                ohr = jnp.where(rowsTR == row[:, 0:1], 1.0, 0.0).astype(dt)
+                scat = jax.lax.dot_general(
+                    ohr, mb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                cur = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
+                new = jnp.where(scat > 0, scat - 1, cur)
+                tbl_ref[WR : WR + TR, :] = new.astype(dt)
+
+            # Fires holding a periodic (P<128) record are flagged in the
+            # plan's fper bitmask and pay the vector-division %P path; the
+            # common plain fire (P==128 throughout) takes &127 — measured
+            # 1.27 us/fire cheaper (experiments/fire_ablate3.py).
+            isper = (fp_ref[b * NFW + j // 32] >> (j % 32)) & 1
+
+            @pl.when(isper == 1)
+            def _periodic():
+                tail((S & 127) + (lane + ph) % P)
+
+            @pl.when(isper == 0)
+            def _plain():
+                tail((S & 127) + ((lane + ph) & 127))
+
             return carry
 
         return fire
@@ -425,30 +469,31 @@ def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
     from jax.experimental.pallas import tpu as pltpu
 
     NT = WR + TR + 2 * LW
+    nfw = (nf + 31) // 32
     dt = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
-        _ring_kernel, TR=TR, WR=WR, LW=LW, RB_=RB_, NF=nf, dt=dt
+        _ring_kernel, TR=TR, WR=WR, LW=LW, RB_=RB_, NF=nf, NFW=nfw, dt=dt
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # nf_lit, nf_tot, litblk
+        num_scalar_prefetch=4,  # nf_lit, nf_tot, litblk, fper
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb: (lb[b], 0)),
-            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb: (lb[b] + 1, 0)),
-            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb: (b, 0, 0)),
-            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb: (b, 0, 0)),
-            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb: (b, 0, 0)),
+            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb, fp: (lb[b], 0)),
+            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb, fp: (lb[b] + 1, 0)),
+            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb, fp: (b, 0, 0)),
+            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb, fp: (b, 0, 0)),
+            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb, fp: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((TR, 128), lambda b, nfl, nft, lb: (b, 0)),
+        out_specs=pl.BlockSpec((TR, 128), lambda b, nfl, nft, lb, fp: (b, 0)),
         scratch_shapes=[pltpu.VMEM((NT, 128), dt)],
     )
     return jax.jit(
-        lambda nfl, nft, lb, c, a0, a1, a2: pl.pallas_call(
+        lambda nfl, nft, lb, fp, c, a0, a1, a2: pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ntiles * TR, 128), jnp.int32),
             interpret=interpret,
-        )(nfl, nft, lb, c, c, a0, a1, a2)
+        )(nfl, nft, lb, fp, c, c, a0, a1, a2)
     )
 
 
@@ -477,8 +522,8 @@ def decode_block_ring(comp, total_out: int, *, plan: RingPlan | None = None,
             return None
     arrs = ring_plan_device_arrays(plan, comp)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
-                          nblk=arrs[3].shape[0] // plan.lit_w,
-                          nf=arrs[4].shape[1], interpret=interpret)
+                          nblk=arrs[4].shape[0] // plan.lit_w,
+                          nf=arrs[5].shape[1], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
@@ -533,8 +578,8 @@ def decode_parts_ring(
         return None
     arrs = ring_plan_device_arrays(plan, comp)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
-                          nblk=arrs[3].shape[0] // plan.lit_w,
-                          nf=arrs[4].shape[1], interpret=interpret)
+                          nblk=arrs[4].shape[0] // plan.lit_w,
+                          nf=arrs[5].shape[1], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
@@ -545,6 +590,7 @@ def ring_plan_device_arrays(plan: RingPlan, comp):
     Record fields upload as-built when the tile count already sits on a
     bucket boundary (fires beyond nf_tot never execute, so no padding values
     are needed) — for big inputs this is the zero-copy common case."""
+    plan.check_live()
     nt = _bucket(plan.ntiles)
     nfl = np.zeros(nt, np.int32)
     nfl[: plan.ntiles] = plan.nf_lit
@@ -552,6 +598,9 @@ def ring_plan_device_arrays(plan: RingPlan, comp):
     nft[: plan.ntiles] = plan.nf_tot
     lb = np.zeros(nt, np.int32)
     lb[: plan.ntiles] = plan.litblk
+    nfw = plan.fper.shape[1]
+    fp = np.zeros(nt * nfw, np.int32)
+    fp[: plan.ntiles * nfw] = plan.fper.reshape(-1)
     nf = plan.rec_f0.shape[1]
     if nt == plan.ntiles:
         f0, f1, f2 = plan.rec_f0, plan.rec_f1, plan.rec_f2
@@ -566,10 +615,10 @@ def ring_plan_device_arrays(plan: RingPlan, comp):
     nblk = _bucket(rows.shape[0] // plan.lit_w, 16)
     crows = np.zeros((nblk * plan.lit_w, 128), np.uint8)
     crows[: rows.shape[0]] = rows
-    return nfl, nft, lb, crows, f0, f1, f2
+    return nfl, nft, lb, fp, crows, f0, f1, f2
 
 
-def ring_decode_jit(nfl, nft, lb, crows, f0, f1, f2, *, ntiles, nblk, nf,
+def ring_decode_jit(nfl, nft, lb, fp, crows, f0, f1, f2, *, ntiles, nblk, nf,
                     interpret=False):
     key = (ntiles, nblk, nf, f0.shape[2], bool(interpret))
     fn = _KERNEL_CACHE.get(key)
@@ -577,4 +626,4 @@ def ring_decode_jit(nfl, nft, lb, crows, f0, f1, f2, *, ntiles, nblk, nf,
         fn = _kernel_call(ntiles, nblk, nf, RB_=f0.shape[2],
                           interpret=interpret)
         _KERNEL_CACHE[key] = fn
-    return fn(nfl, nft, lb, crows, f0, f1, f2)
+    return fn(nfl, nft, lb, fp, crows, f0, f1, f2)

@@ -79,6 +79,73 @@ def test_roundtrip_random_frame_configs():
         assert FrameDecoder(io.BytesIO(out.getvalue())).read_all() == data
 
 
+def test_corrupt_ring_plan_loop():
+    # The ring-plan builder (tlz4_build_ring_plan2) is the production parser
+    # for untrusted input on every device decode path; its manual pointer
+    # arithmetic gets the same randomized coverage as the block decoder:
+    # random buffers and mutated valid blocks must either raise a typed
+    # DecompressError, return None (static-shape overflow), or produce a
+    # plan whose simulation matches the host decoder byte-for-byte.
+    import numpy as np
+
+    from lz4_flex_tpu.ops.ringdecode import build_ring_plan, simulate_ring_plan
+
+    rng = random.Random(0x51A6)
+    base = bytes(
+        rng.choice(b"abcdefgh \n") if rng.random() < 0.8 else rng.randrange(256)
+        for _ in range(4000)
+    )
+    valid = block.compress(base)
+    for i in range(500):
+        if i % 2 == 0:
+            buf = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 150)))
+            expect = rng.randrange(0, 400)
+        else:
+            b = bytearray(valid)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            buf = bytes(b)
+            expect = len(base)
+        arr = np.frombuffer(buf, np.uint8)
+        try:
+            host = block.decompress(buf, expect)
+        except DecompressError:
+            host = None
+        try:
+            plan = build_ring_plan(arr, expect)
+        except DecompressError:
+            continue  # typed error is always acceptable
+        if plan is None:
+            continue  # static-shape overflow -> engine fallback
+        assert host is not None  # builder must not accept what the host rejects
+        assert simulate_ring_plan(plan, arr) == host
+
+
+def test_ring_plan_lifetime_guard():
+    # The 2-generation record-array pool invalidates a plan on the second
+    # subsequent build in the same thread; uploading a stale plan must fail
+    # loudly (RuntimeError), not corrupt output.
+    import numpy as np
+
+    from lz4_flex_tpu.ops.ringdecode import (
+        build_ring_plan,
+        ring_plan_device_arrays,
+    )
+
+    data = bytes(random.Random(3).choice(b"abcdef") for _ in range(40_000))
+    comp = np.frombuffer(block.compress(data), np.uint8)
+    a = build_ring_plan(comp, len(data))
+    b = build_ring_plan(comp, len(data))
+    assert a is not None and b is not None
+    ring_plan_device_arrays(a, comp)  # one subsequent build: still live
+    c = build_ring_plan(comp, len(data))
+    assert c is not None
+    with pytest.raises(RuntimeError):
+        ring_plan_device_arrays(a, comp)  # two subsequent builds: stale
+    ring_plan_device_arrays(b, comp)  # one subsequent build: still live
+    ring_plan_device_arrays(c, comp)
+
+
 def test_decode_poisoned_buffer_no_leak():
     # fuzz_decomp_no_output_leak analog: decode the same stream into
     # buffers pre-filled with different poison patterns; the decoded region
