@@ -589,9 +589,13 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 // the XLA expansion kernels).
 
 #include <vector>
+#include <deque>
 #include <algorithm>
 #include <atomic>
 #include <thread>
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
 
 #define TLZ4_PLAN_OVERFLOW (-100)
 #define TLZ4_PLAN_OVF_SLOT (-102)
@@ -600,6 +604,76 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 
 namespace {
 constexpr int32_t RING_MAX_DEPTH = 250;  // depth[] is uint8
+
+// NOTE: cell-granular (32 B) depth tracking was tried and REVERTED: the
+// conservative depth inflation cascades (cells mixing independent pieces
+// push depths past resolve_min_depth, triggering expensive origin-run
+// resolution and +16-50% fires) and ate the ~8 ms/10MB scan+memset saving
+// at every resolve_min_depth tried. Depth must stay byte-exact; the
+// per-byte ops below are SIMD/inline-optimized instead.
+
+// TLZ4_SKIP={origin,scan,set} ablation flags: skip per-byte fill stages to
+// attribute emit cost (output is WRONG under any of them — timing only).
+bool skip_origin = false, skip_scan = false, skip_set = false;
+
+// TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
+bool prof_on = false;
+std::atomic<int64_t> prof_emit_ns{0}, prof_pack_ns{0}, prof_recs{0};
+std::atomic<int64_t> prof_deep_tiles{0}, prof_deep_pieces{0};
+
+// max of depth[lo, hi) — 16-byte SSE chunks with a scalar tail; the spans
+// are short (avg ~6 B) so the scalar tail is the common path, but chain-y
+// data (long matches) hits the SIMD body.
+static inline uint8_t depth_range_max(const uint8_t* dp, int64_t lo,
+                                      int64_t hi) {
+#if defined(__SSE2__)
+    if (hi - lo >= 16) {
+        __m128i acc = _mm_loadu_si128((const __m128i*)(dp + lo));
+        lo += 16;
+        while (lo + 16 <= hi) {
+            acc = _mm_max_epu8(acc,
+                               _mm_loadu_si128((const __m128i*)(dp + lo)));
+            lo += 16;
+        }
+        if (lo < hi)  // overlap-load the tail (hi-16 >= original lo here)
+            acc = _mm_max_epu8(acc,
+                               _mm_loadu_si128((const __m128i*)(dp + hi - 16)));
+        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 8));
+        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 4));
+        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 2));
+        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 1));
+        return (uint8_t)_mm_cvtsi128_si32(acc);
+    }
+#endif
+    uint8_t m = 0;
+    for (int64_t s = lo; s < hi; s++) m = dp[s] > m ? dp[s] : m;
+    return m;
+}
+
+// depth[p0, p0+len) = d — inline small stores (avg len ~6; memset call
+// overhead dominated the TLZ4_SKIP=set ablation). The len<8 fast path
+// writes a full 8-byte splat: bytes past p0+len belong to later pieces of
+// the SAME tile (output order), which overwrite them before any scan reads
+// them (scans only read already-emitted positions); `te` guards the tile
+// boundary — a spill into the next tile would race that tile's worker.
+static inline void depth_fill(uint8_t* dp, int64_t p0, int64_t len,
+                              uint8_t d, int64_t te) {
+    uint64_t splat = 0x0101010101010101ULL * (uint64_t)d;
+    if (len <= 8) {
+        if (p0 + 8 <= te) {
+            std::memcpy(dp + p0, &splat, 8);
+        } else {
+            for (int64_t k = 0; k < len; k++) dp[p0 + k] = d;
+        }
+        return;
+    }
+    if (len <= 16) {  // both stores end <= p0+len <= te
+        std::memcpy(dp + p0, &splat, 8);
+        std::memcpy(dp + p0 + len - 8, &splat, 8);
+        return;
+    }
+    std::memset(dp + p0, d, (size_t)len);
+}
 
 struct RingRec {
     int32_t S;           // class-local byte address (lit window / ring+tile)
@@ -636,6 +710,7 @@ struct RingTile {
     const RingShared* g;
     int32_t t;
     int64_t ts, te, ring_base;  // ring_base = ts - WR*128
+    int64_t deep_pieces = 0;    // pieces that entered the resolution branch
     std::vector<RingRec> recs;
 };
 
@@ -756,7 +831,7 @@ inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
     if (S + 255 >= ((int64_t)2 * g.lit_w) << 7) return TLZ4_PLAN_OVF_LITSPAN;
     // depth/origin arrive uninitialized (np.empty): literal-sourced bytes
     // (sequence literals AND resolved-to-literal match bytes) are depth 0
-    std::memset(g.depth + p0, 0, (size_t)len);
+    if (!skip_set) depth_fill(g.depth, p0, len, 0, c.te);
     // S stays lit-window-local: literal fires pull from the lit subtable.
     ring_push(c, p0, len, S, 128, ph, 0, 0);
     return 0;
@@ -777,15 +852,11 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
     if (d < 0) {
         int64_t lo_s = src_lo < c.ts ? c.ts : src_lo;
         d = 0;
-        if (lo_s < src_hi) {
-            uint8_t m = 0;
-            const uint8_t* dp = g.depth;
-            for (int64_t s = lo_s; s < src_hi; s++) m = dp[s] > m ? dp[s] : m;
-            d = (int32_t)m + 1;
-        }
+        if (lo_s < src_hi && !skip_scan)
+            d = (int32_t)depth_range_max(g.depth, lo_s, src_hi) + 1;
     }
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
-    std::memset(g.depth + p0, d, (size_t)len);
+    if (!skip_set) depth_fill(g.depth, p0, len, (uint8_t)d, c.te);
     ring_push(c, p0, len, S_local, P, ph, d, 1);
     return 0;
 }
@@ -819,23 +890,26 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
     int64_t rel = p0 - m0;
     int32_t d_raw;
     const uint8_t* dp = g.depth;
-    if (off <= 128 && rel + span > off) {
+    if (skip_scan) {
+        d_raw = 1;
+    } else if (off <= 128 && rel + span > off) {
         int64_t A = m0 - off;
         if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
         int64_t lo_s = A < c.ts ? c.ts : A;
-        uint8_t m = 0;
-        for (int64_t s = lo_s; s < A + off; s++) m = dp[s] > m ? dp[s] : m;
-        d_raw = lo_s < A + off ? (int32_t)m + 1 : 0;
+        d_raw =
+            lo_s < A + off ? (int32_t)depth_range_max(dp, lo_s, A + off) + 1
+                           : 0;
     } else {
         // non-wrapping (span <= off by piece construction when off > 128):
         // distinct sources are [p0-off, p0-off+span)
         int64_t s0 = p0 - off;
         int64_t lo_s = s0 < c.ts ? c.ts : s0;
-        uint8_t m = 0;
-        for (int64_t s = lo_s; s < s0 + span; s++) m = dp[s] > m ? dp[s] : m;
-        d_raw = lo_s < s0 + span ? (int32_t)m + 1 : 0;
+        d_raw = lo_s < s0 + span
+                    ? (int32_t)depth_range_max(dp, lo_s, s0 + span) + 1
+                    : 0;
     }
-    if (d_raw >= g.resolve_min_depth) {
+    if (d_raw >= g.resolve_min_depth && !skip_origin) {
+        c.deep_pieces++;
         // split origins into affine runs: literal runs step +1 in comp
         // space; ring runs step +1 in output space, i.e. -(g+1) steps DOWN
         // by 1. Pass 1 counts run breaks branchlessly (vectorizable);
@@ -1022,13 +1096,363 @@ int64_t ring_parse_blocks(
     return nseq;
 }
 
+// ---------------------------------------------------------------------------
+// Parallel parse: block-level parallelism for frame bodies, SPECULATIVE
+// segment splitting for big raw blocks. A speculative walk starts at an
+// arbitrary byte offset; LZ4 token chains re-synchronize in practice (a
+// mis-aligned walk consumes garbage tokens until its cursor coincides with
+// a true token boundary, after which it IS the true walk). The serial
+// stitch adopts each segment's walk from the exact position where the
+// authoritative chain enters it — found by binary search over the walk's
+// recorded token starts — and re-walks the segment serially when the chain
+// never merged (correct for adversarial input, just slower). Position-
+// dependent validation (offset lower bounds, output-size overflow) moves to
+// the parallel assembly pass; structural validation (LSIC truncation,
+// literal overruns, zero offsets) stays in the walks and only surfaces when
+// the authoritative chain actually reaches the failure point.
+// ---------------------------------------------------------------------------
+
+struct ParseItem {
+    int32_t blk = 0;
+    uint8_t stored = 0;
+    int64_t ip0 = 0, seg_end = 0;  // walk [ip0, first token start >= seg_end)
+    std::vector<RingSeq> seqs;     // out_off = walk-local opos (starts at 0)
+    std::vector<int32_t> tok;      // per-seq token start, relative to ip0
+    int64_t end_ip = -1;  // first token start >= seg_end; -2 = hit block end
+    int64_t out_total = 0;
+    int64_t err = 0;  // structural parse error (real only if chain-adopted)
+};
+
+// Walk one segment. When `spec` is given (stitch repair), the walk stops as
+// soon as its cursor lands on one of spec's recorded token starts — the two
+// walks have merged and spec's tail is the true chain from there —
+// reporting the merge index in *merge_k (-1 = walked to segment end without
+// merging).
+void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
+                   const ParseItem* spec = nullptr,
+                   int64_t* merge_k = nullptr) {
+    it.seqs.clear();
+    it.tok.clear();
+    it.end_ip = -1;
+    it.out_total = 0;
+    it.err = 0;
+    size_t spec_cur = 0;
+    if (merge_k) *merge_k = -1;
+    if (it.stored) {
+        if (blk_end > it.ip0)
+            it.seqs.push_back(
+                {it.ip0, 0, (int32_t)(blk_end - it.ip0), 0, 0});
+        it.out_total = blk_end - it.ip0;
+        it.end_ip = -2;
+        return;
+    }
+    int64_t ip = it.ip0;
+    int64_t opos = 0;
+    const bool last = it.seg_end >= blk_end;
+    for (;;) {
+        if (!last && ip >= it.seg_end) {
+            it.end_ip = ip;
+            break;
+        }
+        if (ip >= blk_end) {  // a block must end inside a literal-only seq
+            it.err = TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+            break;
+        }
+        if (spec) {  // monotone cursor: O(1) amortized merge detection
+            int32_t rel = (int32_t)(ip - spec->ip0);
+            while (spec_cur < spec->tok.size() && spec->tok[spec_cur] < rel)
+                spec_cur++;
+            if (spec_cur < spec->tok.size() && spec->tok[spec_cur] == rel) {
+                *merge_k = (int64_t)spec_cur;
+                it.end_ip = ip;
+                break;
+            }
+        }
+        const int64_t tstart = ip;
+        uint8_t token = input[ip++];
+        int64_t ll = token >> 4;
+        if (ll == 0xF) {
+            for (;;) {
+                if (ip >= blk_end) { it.err = TLZ4_ERR_EXPECTED_ANOTHER_BYTE; goto done; }
+                uint8_t x = input[ip++];
+                ll += x;
+                if (x != 0xFF) break;
+            }
+        }
+        if (ll > blk_end - ip) { it.err = TLZ4_ERR_LITERAL_OOB; break; }
+        {
+            RingSeq q;
+            q.lit_start = ip;
+            q.out_off = opos;
+            q.lit_len = (int32_t)ll;
+            ip += ll;
+            opos += ll;
+            if (ip >= blk_end) {
+                q.match_len = 0;
+                q.match_off = 0;
+                it.seqs.push_back(q);
+                it.tok.push_back((int32_t)(tstart - it.ip0));
+                it.end_ip = -2;
+                break;
+            }
+            if (blk_end - ip < 2) { it.err = TLZ4_ERR_EXPECTED_ANOTHER_BYTE; break; }
+            int64_t offset = load16(input + ip);
+            ip += 2;
+            if (offset == 0) { it.err = TLZ4_ERR_OFFSET_ZERO; break; }
+            int64_t ml = token & 0xF;
+            if (ml == 0xF) {
+                for (;;) {
+                    if (ip >= blk_end) { it.err = TLZ4_ERR_EXPECTED_ANOTHER_BYTE; goto done; }
+                    uint8_t x = input[ip++];
+                    ml += x;
+                    if (x != 0xFF) break;
+                }
+            }
+            ml += (int64_t)MINMATCH;
+            q.match_off = (int32_t)offset;
+            q.match_len = (int32_t)ml;
+            it.seqs.push_back(q);
+            it.tok.push_back((int32_t)(tstart - it.ip0));
+            opos += ml;
+        }
+    }
+done:
+    it.out_total = opos;
+}
+
+// Pooled flat sequence buffer for the parallel parse (the assembly pass
+// overwrites every slot, so value-initializing a std::vector per call would
+// be a pure memset tax).
+struct SeqBuf {
+    RingSeq* p = nullptr;
+    size_t cap = 0;
+    ~SeqBuf() { std::free(p); }
+    RingSeq* ensure(size_t n) {
+        if (n > cap) {
+            std::free(p);
+            cap = (n + (1 << 16) - 1) & ~(size_t)((1 << 16) - 1);
+            p = (RingSeq*)std::malloc(cap * sizeof(RingSeq));
+        }
+        return p;
+    }
+};
+
+// Returns nseq (>=0: *seqs_out/*total_out valid) or a TLZ4_ERR_* code.
+int64_t ring_parse_parallel(
+    const uint8_t* input, size_t input_len,
+    const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
+    int32_t nblocks, int32_t independent, int64_t expected_out,
+    const RingSeq** seqs_out, int64_t* total_out, int32_t nth)
+{
+    static thread_local std::vector<ParseItem> items_tls;
+    static thread_local SeqBuf seqbuf_tls;
+    constexpr int64_t MIN_SEG = 256 * 1024;
+
+    for (int32_t b = 0; b < nblocks; b++)
+        if (blk_off[b] < 0 || blk_len[b] < 0 ||
+            (uint64_t)(blk_off[b] + blk_len[b]) > input_len)
+            return TLZ4_ERR_LITERAL_OOB;
+
+    // Build (block, segment) items.
+    std::vector<ParseItem>& items = items_tls;
+    size_t ni = 0;
+    auto item_at = [&](size_t i) -> ParseItem& {
+        if (items.size() <= i) items.resize(i + 1);
+        return items[i];
+    };
+    std::vector<std::pair<size_t, size_t>> blk_items(nblocks);
+    for (int32_t b = 0; b < nblocks; b++) {
+        size_t i0 = ni;
+        if (blk_store && blk_store[b]) {
+            if (blk_len[b] > 0) {
+                ParseItem& it = item_at(ni++);
+                it.blk = b; it.stored = 1;
+                it.ip0 = blk_off[b];
+                it.seg_end = blk_off[b] + blk_len[b];
+            }
+        } else {
+            int64_t W = blk_len[b] / MIN_SEG;
+            if (W < 1) W = 1;
+            if (W > nth) W = nth;
+            int64_t seg = blk_len[b] / W;
+            for (int64_t w = 0; w < W; w++) {
+                ParseItem& it = item_at(ni++);
+                it.blk = b; it.stored = 0;
+                it.ip0 = blk_off[b] + w * seg;
+                it.seg_end =
+                    (w + 1 == W) ? blk_off[b] + blk_len[b]
+                                 : blk_off[b] + (w + 1) * seg;
+            }
+        }
+        blk_items[b] = {i0, ni};
+    }
+
+    // Parallel walks.
+    auto pp0 = std::chrono::steady_clock::now();
+    {
+        std::atomic<size_t> next{0};
+        auto pwork = [&]() {
+            for (;;) {
+                size_t i = next.fetch_add(1);
+                if (i >= ni) break;
+                ParseItem& it = items[i];
+                parse_segment(input, blk_off[it.blk] + blk_len[it.blk], it);
+            }
+        };
+        size_t pool_n = ni < (size_t)nth ? ni : (size_t)nth;
+        if (pool_n <= 1) {
+            pwork();
+        } else {
+            std::vector<std::thread> pool;
+            pool.reserve(pool_n);
+            for (size_t i = 0; i < pool_n; i++) pool.emplace_back(pwork);
+            for (auto& th : pool) th.join();
+        }
+    }
+
+    auto pp1 = std::chrono::steady_clock::now();
+    // Serial stitch: chain the authoritative walk through the segments.
+    struct Splice {
+        const ParseItem* it;
+        int64_t k, delta, obase, gseq0;
+    };
+    std::vector<Splice> splices;
+    std::deque<ParseItem> rewalks;  // stable addresses for fallback walks
+    int64_t G = 0, gseq = 0;
+    for (int32_t b = 0; b < nblocks; b++) {
+        const int64_t obase = independent ? G : 0;
+        auto [i0, i1] = blk_items[b];
+        if (i0 == i1) continue;  // empty stored block
+        const int64_t bend = blk_off[b] + blk_len[b];
+        int64_t L = blk_off[b];
+        bool done = false;
+        for (size_t i = i0; i < i1 && !done; i++) {
+            const ParseItem* it = &items[i];
+            if (it->end_ip != -2 && L >= it->seg_end) continue;  // swallowed
+            int64_t k = -1;
+            if (L == it->ip0) {
+                k = 0;
+            } else if (L > it->ip0 && !it->tok.empty()) {
+                int32_t rel = (int32_t)(L - it->ip0);
+                auto lo = std::lower_bound(it->tok.begin(), it->tok.end(), rel);
+                if (lo != it->tok.end() && *lo == rel)
+                    k = lo - it->tok.begin();
+            }
+            if (k < 0) {
+                // Chain enters off this walk's token set: repair-walk from
+                // L, stopping as soon as the cursor lands on one of the
+                // speculative walk's token starts (the walks merged — its
+                // tail is authoritative from there).
+                rewalks.emplace_back();
+                ParseItem& rw = rewalks.back();
+                rw.blk = b; rw.stored = 0;
+                rw.ip0 = L;
+                rw.seg_end = it->seg_end;
+                int64_t mk = -1;
+                parse_segment(input, bend, rw, it, &mk);
+                if (rw.err) return rw.err;  // repair IS the true chain
+                if (!rw.seqs.empty()) {
+                    splices.push_back({&rw, 0, G, obase, gseq});
+                    gseq += (int64_t)rw.seqs.size();
+                }
+                G += rw.out_total;
+                if (rw.end_ip == -2) { done = true; break; }
+                if (mk < 0) {  // walked the whole segment without merging
+                    L = rw.end_ip;
+                    continue;
+                }
+                k = mk;  // merged mid-segment: adopt the speculative tail
+            }
+            if (it->err) return it->err;  // chain-confirmed structural error
+            int64_t local0 =
+                k < (int64_t)it->seqs.size() ? it->seqs[k].out_off : it->out_total;
+            if ((int64_t)it->seqs.size() > k) {
+                splices.push_back({it, k, G - local0, obase, gseq});
+                gseq += (int64_t)it->seqs.size() - k;
+            }
+            G += it->out_total - local0;
+            if (it->end_ip == -2) done = true;
+            else L = it->end_ip;
+        }
+        if (!done) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;  // unreachable
+    }
+    *total_out = G;
+    auto pp2 = std::chrono::steady_clock::now();
+    RingSeq* out = seqbuf_tls.ensure((size_t)gseq);
+
+    // Parallel assembly: rebase out_off, run the deferred position checks.
+    struct ErrRec { int64_t code, gseq, total; };
+    std::vector<ErrRec> errs(splices.size(), {0, 0, 0});
+    {
+        std::atomic<size_t> next{0};
+        auto awork = [&]() {
+            for (;;) {
+                size_t si = next.fetch_add(1);
+                if (si >= splices.size()) break;
+                const Splice& s = splices[si];
+                const RingSeq* src = s.it->seqs.data() + s.k;
+                const int64_t n = (int64_t)s.it->seqs.size() - s.k;
+                RingSeq* dst = out + s.gseq0;
+                for (int64_t j = 0; j < n; j++) {
+                    RingSeq q = src[j];
+                    q.out_off += s.delta;
+                    int64_t oafter = q.out_off + q.lit_len;
+                    if (oafter > expected_out) {
+                        errs[si] = {TLZ4_ERR_OUTPUT_TOO_SMALL, s.gseq0 + j,
+                                    oafter};
+                        break;
+                    }
+                    if (q.match_len > 0) {
+                        if (oafter - q.match_off < s.obase) {
+                            errs[si] = {TLZ4_ERR_OFFSET_OOB, s.gseq0 + j, 0};
+                            break;
+                        }
+                        if (oafter + q.match_len > expected_out) {
+                            errs[si] = {TLZ4_ERR_OUTPUT_TOO_SMALL, s.gseq0 + j,
+                                        oafter + q.match_len};
+                            break;
+                        }
+                    }
+                    dst[j] = q;
+                }
+            }
+        };
+        size_t pool_n = splices.size() < (size_t)nth ? splices.size() : (size_t)nth;
+        if (pool_n <= 1) {
+            awork();
+        } else {
+            std::vector<std::thread> pool;
+            pool.reserve(pool_n);
+            for (size_t i = 0; i < pool_n; i++) pool.emplace_back(awork);
+            for (auto& th : pool) th.join();
+        }
+    }
+    // first error in authoritative (global sequence) order wins
+    const ErrRec* first = nullptr;
+    for (const auto& e : errs)
+        if (e.code && (!first || e.gseq < first->gseq)) first = &e;
+    if (first) {
+        if (first->code == TLZ4_ERR_OUTPUT_TOO_SMALL) *total_out = first->total;
+        return first->code;
+    }
+    if (prof_on) {
+        auto pp3 = std::chrono::steady_clock::now();
+        std::fprintf(
+            stderr,
+            "[tlz4 pparse] %zu items: walk %.1f ms  stitch %.1f ms "
+            "(%zu rewalks)  assembly %.1f ms\n",
+            ni, std::chrono::duration<double, std::milli>(pp1 - pp0).count(),
+            std::chrono::duration<double, std::milli>(pp2 - pp1).count(),
+            rewalks.size(),
+            std::chrono::duration<double, std::milli>(pp3 - pp2).count());
+    }
+    *seqs_out = out;
+    return gseq;
+}
+
 // Pass 2, one tile: origin chase + record emission for output [ts, te).
 // Reads g.depth/g.origin only inside the tile, so tiles are independent.
-// TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
-bool prof_on = false;
-std::atomic<int64_t> prof_emit_ns{0}, prof_pack_ns{0}, prof_recs{0};
-
-int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
+int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
                     const RingWatermark* wm, int32_t t) {
     auto tt0 = std::chrono::steady_clock::now();
     // Per-worker reusable record buffer: capacity persists across tiles
@@ -1049,7 +1473,7 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
     g.litblk[t] = -1;
 
     // Wait for the parser to pass this tile's end before reading seqs.
-    size_t n_pub = seqs.size();
+    size_t n_pub = nseq;
     if (wm) {
         int64_t te_eff = c.te < g.expected_out ? c.te : g.expected_out;
         // Sleep, don't spin: oversubscribed waiters yielding in a tight
@@ -1079,8 +1503,9 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
         int64_t pe = l1 < c.te ? l1 : c.te;
         if (p < pe) {
             int64_t csrc = q.lit_start + (p - q.out_off);
-            for (int64_t k = p; k < pe; k++)
-                g.origin[k] = (int32_t)(csrc + (k - p));
+            if (!skip_origin)
+                for (int64_t k = p; k < pe; k++)
+                    g.origin[k] = (int32_t)(csrc + (k - p));
             int64_t rem = pe - p;
             while (rem > 0) {
                 int32_t span = (int32_t)(128 - (p & 127));
@@ -1102,7 +1527,7 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
         // -(sk+1). Split at the ring boundary so both halves vectorize: the
         // ring half is an iota fill, the in-tile half a (possibly periodic)
         // block copy with no intra-chunk aliasing.
-        {
+        if (!skip_origin) {
             int64_t ring_end = c.ts + off < me ? c.ts + off : me;
             int32_t o0 = (int32_t)(-(mp - off) - 1);
             for (int64_t pk = mp; pk < ring_end; pk++)
@@ -1138,6 +1563,11 @@ int ring_build_tile(const RingShared& g, const std::vector<RingSeq>& seqs,
             std::memory_order_relaxed);
         prof_recs.fetch_add((int64_t)c.recs.size(),
                             std::memory_order_relaxed);
+        if (c.deep_pieces) {
+            prof_deep_tiles.fetch_add(1, std::memory_order_relaxed);
+            prof_deep_pieces.fetch_add(c.deep_pieces,
+                                       std::memory_order_relaxed);
+        }
         return rc;
     }
     return ring_pack_tile(c);
@@ -1158,8 +1588,16 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
 {
     const bool prof = std::getenv("TLZ4_PLAN_PROF") != nullptr;
     prof_on = prof;
+    if (const char* sk = std::getenv("TLZ4_SKIP")) {
+        skip_origin = std::strstr(sk, "origin") != nullptr;
+        skip_scan = std::strstr(sk, "scan") != nullptr;
+        skip_set = std::strstr(sk, "set") != nullptr;
+    } else {
+        skip_origin = skip_scan = skip_set = false;
+    }
     if (prof) {
         prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);
+        prof_deep_tiles.store(0); prof_deep_pieces.store(0);
     }
     auto now = [] { return std::chrono::steady_clock::now(); };
     auto t0 = now();
@@ -1172,9 +1610,6 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     // would silently resolve `seqs` to its own empty instance (observed
     // segfault). Workers must go through this caller-thread reference.
     static thread_local std::vector<RingSeq> seqs_tls;
-    std::vector<RingSeq>& seqs = seqs_tls;
-    seqs.clear();
-    seqs.reserve(input_len / 3 + (size_t)nblocks + 8);
 
     RingShared g{tile_rows, window_rows, lit_w, ntiles, rb, nfmax,
                  resolve_min_depth, resolve_runs, expected_out,
@@ -1182,41 +1617,59 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     RingWatermark wm;
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};
+    const RingSeq* seq_ptr = nullptr;
+    size_t seq_n = 0;
     auto work = [&]() {
         for (;;) {
             int32_t t = next.fetch_add(1);
             if (t >= ntiles || err.load(std::memory_order_relaxed)) break;
-            if (int rc = ring_build_tile(g, seqs, &wm, t)) {
+            if (int rc = ring_build_tile(g, seq_ptr, seq_n, &wm, t)) {
                 int32_t expected = 0;
                 err.compare_exchange_strong(expected, (int32_t)rc);
             }
         }
     };
-    // Default to 2x the core count: tile workers stall on soft page faults
-    // of the freshly-allocated output arrays, and oversubscription hides
-    // those stalls (measured ~20% on a 4-core host).
-    //
-    // The phases run sequentially ON PURPOSE: overlapping the serial token
-    // walk with tile building (workers chasing the parse watermark) was
-    // measured a net LOSS on a small host — tile workers saturate the
-    // memory bus and stretch the bandwidth-sensitive parse from 15 ms to
-    // ~107 ms wall (even a single concurrent worker doubles it), while the
-    // overlap saves at most the 15 ms parse. The watermark machinery stays
-    // (workers built against it are correct either way) with done
-    // pre-published, so ring_build_tile never waits.
-    int64_t nseq = ring_parse_blocks(
-        input, input_len, blk_off, blk_len, blk_store, nblocks, independent,
-        expected_out, seqs, total_out, &wm);
+    int32_t nth = nthreads > 0 ? nthreads
+                               : 2 * (int32_t)std::thread::hardware_concurrency();
+    if (nth < 1) nth = 1;
+
+    // Parse: parallel (block items + speculative segments) for big inputs,
+    // the serial walk otherwise (thread-spawn overhead beats the win below
+    // ~1 MB). The phases (parse -> tiles) stay sequential ON PURPOSE:
+    // overlapping them was measured a net LOSS on a small host — tile
+    // workers saturate the memory bus and stretch the bandwidth-sensitive
+    // parse 15 -> ~107 ms wall. The watermark machinery stays (workers
+    // built against it are correct either way) with done pre-published, so
+    // ring_build_tile never waits.
+    int64_t nseq;
+    const bool par = nth > 1 && input_len <= (size_t)INT32_MAX &&
+                     (input_len >= (1u << 20) || nblocks >= 4) &&
+                     !std::getenv("TLZ4_SERIAL_PARSE");
+    if (par) {
+        nseq = ring_parse_parallel(
+            input, input_len, blk_off, blk_len, blk_store, nblocks,
+            independent, expected_out, &seq_ptr, total_out, nth);
+    } else {
+        std::vector<RingSeq>& seqs = seqs_tls;
+        seqs.clear();
+        // Worst-case capacity so push_back never reallocates while workers
+        // read: every non-final sequence consumes >= 3 comp bytes, plus one
+        // short final sequence per block. thread_local + clear(): capacity
+        // (and its faulted-in pages) persists across calls.
+        seqs.reserve(input_len / 3 + (size_t)nblocks + 8);
+        nseq = ring_parse_blocks(
+            input, input_len, blk_off, blk_len, blk_store, nblocks,
+            independent, expected_out, seqs, total_out, &wm);
+        seq_ptr = seqs.data();
+    }
     auto t1 = now();
     if (nseq < 0) return nseq;
     if (*total_out != expected_out) return nseq;  // caller raises size error
+    seq_n = (size_t)nseq;
     wm.n.store(nseq, std::memory_order_release);
     wm.opos.store(*total_out, std::memory_order_release);
     wm.done.store(1, std::memory_order_release);
 
-    int32_t nth = nthreads > 0 ? nthreads
-                               : 2 * (int32_t)std::thread::hardware_concurrency();
-    if (nth < 1) nth = 1;
     if (nth > ntiles) nth = ntiles;
     if (nth <= 1) {
         work();
@@ -1232,11 +1685,13 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
         std::fprintf(
             stderr,
             "[tlz4 plan] parse %.1f ms  total %.1f ms (%d threads)  "
-            "emit %.1f ms-cpu  pack %.1f ms-cpu  %lld recs\n",
+            "emit %.1f ms-cpu  pack %.1f ms-cpu  %lld recs  "
+            "deep tiles %lld/%d pieces %lld\n",
             std::chrono::duration<double, std::milli>(t1 - t0).count(),
             std::chrono::duration<double, std::milli>(t2 - t0).count(), nth,
             prof_emit_ns.load() / 1e6, prof_pack_ns.load() / 1e6,
-            (long long)prof_recs.load());
+            (long long)prof_recs.load(), (long long)prof_deep_tiles.load(),
+            ntiles, (long long)prof_deep_pieces.load());
     }
     return nseq;
 }
