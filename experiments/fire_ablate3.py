@@ -231,3 +231,124 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# --- round-3b variants appended: splat-cost attack on top of nomod -------
+def make_kernel2(variant):
+    stack = "stack" in variant
+    prec = (
+        jax.lax.Precision.HIGH if "high" in variant
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def kernel(f0_ref, f1_ref, f2_ref, fs_ref, tbl_ref, o_ref, acc_ref):
+        acc_ref[...] = tbl_ref[0].astype(DT)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RB, 128), 1)
+        rowsNT = jax.lax.broadcasted_iota(jnp.int32, (RB, NT), 1)
+        rowsTR = jax.lax.broadcasted_iota(jnp.int32, (RB, TR), 1)
+
+        def fire(j, carry):
+            ohj = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (NF, 128), 0) == j,
+                1.0, 0.0,
+            ).astype(jnp.float32)
+            if stack:
+                allp = jax.lax.dot_general(
+                    fs_ref[0].astype(jnp.float32), ohj,
+                    (((0,), (0,)), ((), ())),
+                    precision=prec,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)  # (3*RB, 128)
+                S = allp[0:RB]
+                b1 = allp[RB : 2 * RB]
+                b2 = allp[2 * RB : 3 * RB]
+            else:
+                def splat(fref):
+                    return jax.lax.dot_general(
+                        fref[0].astype(jnp.float32), ohj,
+                        (((0,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.int32)
+                S = splat(f0_ref)
+                b1 = splat(f1_ref)
+                b2 = splat(f2_ref)
+            ph = b1 & 127
+            lo = (b1 >> 14) & 127
+            lenm1 = b2 & 127
+            row = (b2 >> 7) & 511
+            rowS = (S >> 7)[:, 0:1]
+            oh0 = jnp.where(rowsNT == rowS, 1.0, 0.0).astype(DT)
+            oh1 = jnp.where(rowsNT == rowS + 1, 1.0, 0.0).astype(DT)
+            tblv = acc_ref[...]
+            A = jax.lax.dot_general(
+                oh0, tblv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            B = jax.lax.dot_general(
+                oh1, tblv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            q = (S & 127) + ((lane + ph) & 127)
+            qm = q & 127
+            gA = jnp.take_along_axis(A, qm, axis=1)
+            gB = jnp.take_along_axis(B, qm, axis=1)
+            byte = jnp.where(q < 128, gA, gB)
+            inr = (row < TR) & (lane >= lo) & (lane <= lo + lenm1)
+            mb = jnp.where(inr, byte + 1, 0).astype(DT)
+            ohr = jnp.where(rowsTR == row[:, 0:1], 1.0, 0.0).astype(DT)
+            scat = jax.lax.dot_general(
+                ohr, mb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            cur = acc_ref[NT - TR : NT, :].astype(jnp.int32)
+            new = jnp.where(scat > 0, scat - 1, cur)
+            acc_ref[NT - TR : NT, :] = new.astype(DT)
+            return carry
+
+        jax.lax.fori_loop(0, NF, fire, 0)
+        o_ref[0] = acc_ref[NT - TR : NT, :].astype(jnp.int32)
+
+    return kernel
+
+
+def run2(variant):
+    rng = np.random.default_rng(0)
+    f0 = rng.integers(0, (NT - 2) * 128, (NB, NF, RB), dtype=np.int64).astype(np.int32)
+    f1 = (
+        rng.integers(0, 128, (NB, NF, RB), dtype=np.int64)
+        | (rng.integers(0, 128, (NB, NF, RB), dtype=np.int64) << 7)
+        | (rng.integers(0, 64, (NB, NF, RB), dtype=np.int64) << 14)
+    ).astype(np.int32)
+    f2 = (
+        rng.integers(0, 64, (NB, NF, RB), dtype=np.int64)
+        | (rng.integers(0, TR, (NB, NF, RB), dtype=np.int64) << 7)
+    ).astype(np.int32)
+    fs = np.concatenate([f0, f1, f2], axis=2)  # (NB, NF, 3*RB)
+    tbl = jnp.asarray(rng.integers(0, 255, (NB, NT, 128), dtype=np.int64).astype(np.int32))
+    try:
+        f = jax.jit(
+            lambda a, b, c, s, t: pl.pallas_call(
+                make_kernel2(variant),
+                out_shape=jax.ShapeDtypeStruct((NB, TR, 128), jnp.int32),
+                grid=(NB,),
+                in_specs=[
+                    pl.BlockSpec((1, NF, RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, NF, RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, NF, RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, NF, 3 * RB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, NT, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, TR, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((NT, 128), DT)],
+            )(a, b, c, s, t)
+        )
+        ins = (jnp.asarray(f0), jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(fs), tbl)
+        t = device_time(lambda: f(*ins), sync=lambda r: r.reshape(-1)[:1])
+        print(f"{variant:12s}: {t/(NB*NF)*1e6:7.2f} us/fire", flush=True)
+    except Exception as e:
+        msg = str(e).split("\n")[0][:200]
+        print(f"{variant:12s}: FAIL {type(e).__name__}: {msg}", flush=True)
+
+
+if "--round3b" in sys.argv:
+    pass
