@@ -330,6 +330,12 @@ def best_plane_core(u8, pool: int = 2):
     pooled delta and re-extends exactly, so pooling and the score cap only
     affect *which* match is chosen, never correctness — and the pooled
     plane halves the device->host transfer that dominates the pipeline.
+
+    Cost structure (measured, experiments/encode_sort_ablate.py): the sort
+    itself is cheap (~1.4 ms/chunk); position-domain SCATTERS dominate. So
+    (score, closeness) packs into one int32 — packed = score<<16 |
+    (65536-delta), whose max is "best score, ties to the closest" — and ONE
+    scatter returns to position order: 7.3 -> 3.6 ms/chunk.
     """
     pad = u8.shape[0]
     pos = jnp.arange(pad, dtype=jnp.int32)
@@ -343,8 +349,7 @@ def best_plane_core(u8, pool: int = 2):
         (w4, pos.astype(jnp.uint32), w4p4, w4p8), num_keys=2
     )
     spi = sp.astype(jnp.int32)
-    best_score = jnp.zeros(pad, jnp.int32)
-    best_delta = jnp.zeros(pad, jnp.int32)
+    best = jnp.zeros(pad, jnp.int32)
     for j in range(1, 5):
         same = jnp.concatenate([jnp.zeros(j, bool), sw[j:] == sw[:-j]])
         prev = jnp.concatenate([jnp.zeros(j, jnp.int32), spi[:-j]])
@@ -354,17 +359,12 @@ def best_plane_core(u8, pool: int = 2):
         ok = same & (delta <= 65535)
         e1 = (c4 == s4).astype(jnp.int32)
         e2 = ((c8 == s8) & (c4 == s4)).astype(jnp.int32)
-        score = jnp.where(ok, 4 + 4 * e1 + 4 * e2, 0)
-        take = score > best_score  # strict: closest-first order keeps ties
-        best_score = jnp.where(take, score, best_score)
-        best_delta = jnp.where(take, delta, best_delta)
-    dplane = jnp.zeros(pad, jnp.int32).at[spi].set(best_delta)
-    splane = jnp.zeros(pad, jnp.int32).at[spi].set(best_score)
-    d2 = dplane.reshape(pad // pool, pool)
-    s2 = splane.reshape(pad // pool, pool)
-    j = jnp.argmax(s2, axis=1)
-    win = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
-    return win.astype(jnp.uint16)
+        score = 4 + 4 * e1 + 4 * e2
+        packed = jnp.where(ok, (score << 16) | (65536 - delta), 0)
+        best = jnp.maximum(best, packed)
+    plane = jnp.zeros(pad, jnp.int32).at[spi].set(best)
+    w = jnp.max(plane.reshape(pad // pool, pool), axis=1)
+    return jnp.where(w > 0, 65536 - (w & 0xFFFF), 0).astype(jnp.uint16)
 
 
 # 4:1 pooling halves the plane d2h vs 2:1 for ~equal steady state with the
@@ -375,17 +375,19 @@ _PLANE_POOL = 4
 
 @partial(jax.jit, static_argnums=(2,))
 def _best_plane_quad(gpad, starts4, pool=_PLANE_POOL):
-    """Four chunk rows' pooled planes in one launch, rows built on-device
-    by slicing the resident stream — the only h2d is the stream itself,
-    and each d2h RPC carries 4 rows so transfer overlaps later quads'
-    compute via the prefetch thread."""
-
-    def one(start):
-        return best_plane_core(
-            jax.lax.dynamic_slice(gpad, (start,), (_CHUNK_W,)), pool
+    """Four chunk rows' pooled planes in one launch, rows built on-device by
+    slicing the resident stream — the only h2d is the stream itself, and
+    each dispatch/d2h RPC carries 4 rows (per-call latency on a remote
+    device dominates otherwise). The four rows are UNROLLED, not vmapped:
+    a vmap'd batched sort was measured 27% slower per chunk than four
+    sequential single-chunk sorts inside one XLA program."""
+    rows = [
+        best_plane_core(
+            jax.lax.dynamic_slice(gpad, (starts4[i],), (_CHUNK_W,)), pool
         )
-
-    return jax.vmap(one)(starts4)
+        for i in range(4)
+    ]
+    return jnp.stack(rows)
 
 
 def encode_chunk_core(u8, words, d, n, *, levels, comp_pad, nseq_pad):
@@ -594,7 +596,9 @@ def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
     qstarts = np.array(
         starts + [starts[-1]] * (4 * nquads - nrows), np.int32
     ).reshape(nquads, 4)
-    quads = [_best_plane_quad(gpad, jnp.asarray(q)) for q in qstarts]
+    quads = [
+        _best_plane_quad(gpad, jnp.asarray(q), _PLANE_POOL) for q in qstarts
+    ]
 
     cap = get_maximum_output_size(n_data)
     out = np.empty(cap, np.uint8)

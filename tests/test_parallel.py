@@ -98,6 +98,21 @@ def test_decode_blocks_sharded():
     assert b"".join(out) == data
 
 
+def test_decode_blocks_sharded_ring_is_production_path():
+    # The mesh decode must run the ring engine per device (interpret mode on
+    # this CPU mesh) — not silently fall back to the XLA expansion engine.
+    from lz4_flex_tpu.parallel.pipeline import decode_blocks_sharded_ring
+
+    data = _data()
+    blocks = [data[i : i + BS] for i in range(0, len(data), BS)]
+    payloads = [block.compress(b) for b in blocks]
+    out = decode_blocks_sharded_ring(payloads, BS)
+    assert out is not None and b"".join(out) == data
+    # uneven split: fewer blocks than devices
+    out3 = decode_blocks_sharded_ring(payloads[:3], BS)
+    assert out3 is not None and b"".join(out3) == b"".join(blocks[:3])
+
+
 def test_decode_parts_fused_mixed():
     data = _data()
     blocks = [data[i : i + BS] for i in range(0, len(data), BS)]
