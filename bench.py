@@ -332,7 +332,8 @@ def main() -> None:
         G = np.frombuffer(data, np.uint8)
         bucket = packing.size_bucket(n + 8)
         gpad = jnp.asarray(packing.pad_to(G, bucket))
-        starts4 = jnp.asarray(np.array([0, 1, 2, 3], np.int32) * _CHUNK_C)
+        starts4_h = [0, _CHUNK_C, 2 * _CHUNK_C, 3 * _CHUNK_C]
+        starts4 = jnp.asarray(np.array(starts4_h, np.int32))
         t_q = device_time(
             lambda: _best_plane_quad(gpad, starts4, _PLANE_POOL),
             sync=lambda r: r[:1, :1], iters=6,
@@ -345,14 +346,15 @@ def main() -> None:
         capb = len(hcomp) * 2 + 4096
         outw = np.empty(capb, np.uint8)
 
+        planes = [np.ascontiguousarray(quad[i]) for i in range(4)]
+
         def walk_once():
             state = np.zeros(3, np.int64)
             for i in range(4):
                 lib.tlz4_hybrid_walk_row(
                     G.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), n,
-                    np.ascontiguousarray(quad[i]).ctypes.data_as(
-                        _ct.POINTER(_ct.c_uint16)),
-                    int(starts4[i]), min(int(starts4[i]) + _CHUNK_W, n),
+                    planes[i].ctypes.data_as(_ct.POINTER(_ct.c_uint16)),
+                    starts4_h[i], min(starts4_h[i] + _CHUNK_C, n),
                     _CHUNK_W // _PLANE_POOL, _PLANE_POOL.bit_length() - 1,
                     state.ctypes.data_as(_ct.POINTER(_ct.c_int64)),
                     outw.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), capb, 0,

@@ -384,8 +384,24 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
         if plan is None:
             return None
         arrs = list(RD.ring_plan_device_arrays(plan, comp))
-        for k in range(5, 8):  # record fields may be pool-backed views
-            arrs[k] = np.copy(arrs[k])
+        # Copy the record fields out (they may be pool-backed views the next
+        # group's build would reuse), sliced to the fire rows this group can
+        # actually execute — typical plans use about half the static NFMAX
+        # allocation, so this halves staging memory and upload bytes.
+        nf_used = max(8, -(-int(plan.nf_tot.max() or 1) // 8) * 8)
+        nf_used = min(nf_used, arrs[5].shape[1])
+        dnt_b = arrs[0].shape[0]
+        nfw_full = arrs[3].shape[0] // dnt_b
+        nfw_used = -(-nf_used // 32)
+        # .copy(), NOT ascontiguousarray: a sliced view with a size-1
+        # leading dim counts as contiguous, and ascontiguousarray would
+        # return the pool-backed view itself — which the 2-generation plan
+        # pool then overwrites two builds later (observed corruption).
+        arrs[3] = (
+            arrs[3].reshape(dnt_b, nfw_full)[:, :nfw_used].copy().reshape(-1)
+        )
+        for k in range(5, 8):
+            arrs[k] = arrs[k][:, :nf_used].copy()
         staged.append((arrs, sizes))
 
     live = [s for s in staged if s and s[0]]
