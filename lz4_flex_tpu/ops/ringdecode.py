@@ -51,9 +51,11 @@ NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry below on overflow)
 NFMAX_RETRY = 160  # hard cap (overflow -> fallback engine)
 # Host-side chain resolution threshold: resolving SHALLOW chains is
 # counterproductive (run-splitting adds records/fires while raw records stay
-# single) — measured on the 10 MB corpus: min_depth 3 -> 33 ms plan / 7567
-# fires, min_depth 5 -> 29 ms / 7085. Keep resolution for deep chains only.
-RESOLVE_MIN_DEPTH = 5
+# single, and the origin-run logic costs host CPU). Round-3 sweep across
+# text / JSON / mixed-real-file 10 MB corpora: md=8 cuts plan wall 10-20%
+# vs md=5 (33.2->28.5 text, 44.9->35.5 mixed, 21.5->21.1 JSON) for +6.7%
+# text fires (-3.7% JSON) — a net win while plans, not kernels, bind.
+RESOLVE_MIN_DEPTH = 8
 RESOLVE_RUNS = 6
 
 PLAN_OVERFLOW_CODES = (-100, -102, -103, -104)
