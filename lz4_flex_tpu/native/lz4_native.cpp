@@ -621,33 +621,73 @@ bool prof_on = false;
 std::atomic<int64_t> prof_emit_ns{0}, prof_pack_ns{0}, prof_recs{0};
 std::atomic<int64_t> prof_deep_tiles{0}, prof_deep_pieces{0};
 
-// max of depth[lo, hi) — 16-byte SSE chunks with a scalar tail; the spans
-// are short (avg ~6 B) so the scalar tail is the common path, but chain-y
-// data (long matches) hits the SIMD body.
+// max of depth[lo, hi) — branch-free SSE on every span length: short spans
+// (the avg ~6 B common case) use ONE masked 16-byte overlap load (bytes
+// past hi are masked to 0, neutral for max; the depth scratch carries 64
+// bytes of tail slack so the overread stays in-bounds), long spans loop
+// 16-byte chunks.
+#if defined(__SSE2__)
+alignas(16) static const uint8_t kSpanMask[16][16] = {
+#define M0 0
+#define M1 0xFF
+#define ROW(n) {n>0?M1:M0,n>1?M1:M0,n>2?M1:M0,n>3?M1:M0,n>4?M1:M0,n>5?M1:M0,\
+n>6?M1:M0,n>7?M1:M0,n>8?M1:M0,n>9?M1:M0,n>10?M1:M0,n>11?M1:M0,n>12?M1:M0,\
+n>13?M1:M0,n>14?M1:M0,n>15?M1:M0}
+    ROW(0), ROW(1), ROW(2), ROW(3), ROW(4), ROW(5), ROW(6), ROW(7),
+    ROW(8), ROW(9), ROW(10), ROW(11), ROW(12), ROW(13), ROW(14), ROW(15),
+#undef ROW
+#undef M0
+#undef M1
+};
+
+static inline uint8_t hmax_epu8(__m128i acc) {
+    acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 8));
+    acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 4));
+    acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 2));
+    acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 1));
+    return (uint8_t)_mm_cvtsi128_si32(acc);
+}
+#endif
+
 static inline uint8_t depth_range_max(const uint8_t* dp, int64_t lo,
                                       int64_t hi) {
 #if defined(__SSE2__)
-    if (hi - lo >= 16) {
-        __m128i acc = _mm_loadu_si128((const __m128i*)(dp + lo));
-        lo += 16;
-        while (lo + 16 <= hi) {
-            acc = _mm_max_epu8(acc,
-                               _mm_loadu_si128((const __m128i*)(dp + lo)));
-            lo += 16;
-        }
-        if (lo < hi)  // overlap-load the tail (hi-16 >= original lo here)
-            acc = _mm_max_epu8(acc,
-                               _mm_loadu_si128((const __m128i*)(dp + hi - 16)));
-        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 8));
-        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 4));
-        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 2));
-        acc = _mm_max_epu8(acc, _mm_srli_si128(acc, 1));
-        return (uint8_t)_mm_cvtsi128_si32(acc);
+    int64_t len = hi - lo;
+    if (len < 16) {
+        __m128i v = _mm_loadu_si128((const __m128i*)(dp + lo));
+        v = _mm_and_si128(v, _mm_load_si128((const __m128i*)kSpanMask[len]));
+        return hmax_epu8(v);
     }
-#endif
+    __m128i acc = _mm_loadu_si128((const __m128i*)(dp + lo));
+    lo += 16;
+    while (lo + 16 <= hi) {
+        acc = _mm_max_epu8(acc, _mm_loadu_si128((const __m128i*)(dp + lo)));
+        lo += 16;
+    }
+    if (lo < hi)  // overlap-load the tail (hi-16 >= original lo here)
+        acc = _mm_max_epu8(acc,
+                           _mm_loadu_si128((const __m128i*)(dp + hi - 16)));
+    return hmax_epu8(acc);
+#else
     uint8_t m = 0;
     for (int64_t s = lo; s < hi; s++) m = dp[s] > m ? dp[s] : m;
     return m;
+#endif
+}
+
+// origin[p, pe) = v, v+1, v+2, ... (ascending iota fill)
+static inline void origin_iota(int32_t* o, int64_t p, int64_t pe,
+                               int32_t v, int32_t step) {
+#if defined(__SSE2__)
+    __m128i vec = _mm_setr_epi32(v, v + step, v + 2 * step, v + 3 * step);
+    const __m128i stride = _mm_set1_epi32(4 * step);
+    for (; p + 4 <= pe; p += 4) {
+        _mm_storeu_si128((__m128i*)(o + p), vec);
+        vec = _mm_add_epi32(vec, stride);
+        v += 4 * step;
+    }
+#endif
+    for (; p < pe; p++, v += step) o[p] = v;
 }
 
 // depth[p0, p0+len) = d — inline small stores (avg len ~6; memset call
@@ -1504,8 +1544,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         if (p < pe) {
             int64_t csrc = q.lit_start + (p - q.out_off);
             if (!skip_origin)
-                for (int64_t k = p; k < pe; k++)
-                    g.origin[k] = (int32_t)(csrc + (k - p));
+                origin_iota(g.origin, p, pe, (int32_t)csrc, 1);
             int64_t rem = pe - p;
             while (rem > 0) {
                 int32_t span = (int32_t)(128 - (p & 127));
@@ -1530,8 +1569,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         if (!skip_origin) {
             int64_t ring_end = c.ts + off < me ? c.ts + off : me;
             int32_t o0 = (int32_t)(-(mp - off) - 1);
-            for (int64_t pk = mp; pk < ring_end; pk++)
-                g.origin[pk] = o0 - (int32_t)(pk - mp);
+            origin_iota(g.origin, mp, ring_end, o0, -1);
             int64_t pk = ring_end > mp ? ring_end : mp;
             while (pk < me) {
                 int64_t chunk = me - pk < off ? me - pk : off;

@@ -127,8 +127,10 @@ _scratch = threading.local()
 
 def _chase_scratch(n: int):
     """Per-thread reusable depth/origin chase buffers (internal to one build
-    call — never part of the returned plan, so reuse cannot alias)."""
-    size = max(n, 1 << 20)
+    call — never part of the returned plan, so reuse cannot alias). +64
+    bytes of slack: the native SIMD range-max overlap-loads up to 15 bytes
+    past a scan end, which may touch [total_out, total_out+15)."""
+    size = max(n + 64, 1 << 20)
     cur = getattr(_scratch, "bufs", None)
     if cur is None or cur[0].shape[0] < size:
         size = -(-size // (1 << 20)) * (1 << 20)
