@@ -209,7 +209,9 @@ def main() -> None:
     )
     chk_ok = int(f_ring()) == expected_checksum()
     t_kern = device_time(f_ring, sync=lambda r: r)
-    t_plan = median_time(lambda: build_ring_plan(comp_np, n), iters=6)
+    # 12 iters: the 4-core dev host carries transient external load and the
+    # plan build swings 23-30 ms run to run; a wider median damps it.
+    t_plan = median_time(lambda: build_ring_plan(comp_np, n), iters=12)
     t_steady = max(t_kern, t_plan)
     mibs = n / t_steady / (1024**2)
     print(
