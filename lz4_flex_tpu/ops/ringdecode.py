@@ -47,8 +47,15 @@ LIT_W = 272  # literal window block; two blocks span 69.6 KiB of comp
 RB = 256  # records per fire. Measured RB=512 SLOWER (31.4 vs 27.0 ms kernel
 #           on the 10 MB corpus): depth-group padding waste and the larger
 #           one-hot scatter outgrow the per-fire fixed cost.
-NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry below on overflow)
-NFMAX_RETRY = 160  # hard cap (overflow -> fallback engine)
+NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry ladder on overflow)
+# Retry ladder instead of one jump to the hard cap: the splat matmuls
+# contract over NF, so a 160-wide plan costs ~3.3x the per-fire splat MACs
+# of a 48-wide one even when only 50 fires are used (measured: the mixed
+# real-file corpus triggered the 160 retry and ran 3.3 us/fire vs text's
+# 2.2). The ladder keeps NF tight; the last step is the hard cap
+# (overflow there -> fallback engine).
+NFMAX_STEPS = (64, 96, 160)
+NFMAX_RETRY = NFMAX_STEPS[-1]
 # Host-side chain resolution threshold: resolving SHALLOW chains is
 # counterproductive (run-splitting adds records/fires while raw records stay
 # single, and the origin-run logic costs host CPU). Round-3 sweep across
@@ -244,12 +251,13 @@ def build_ring_plan_parts(
         tot.ctypes.data_as(i64p),
     )
     if rc == -102 and nfmax < NFMAX_RETRY:
-        # record-capacity overflow: retry once with the hard cap before
-        # giving up to the fallback engine
+        # record-capacity overflow: climb the retry ladder before giving up
+        # to the fallback engine
+        nxt = next(s for s in NFMAX_STEPS if s > nfmax)
         return build_ring_plan_parts(
             parts, total_out, independent=independent, nthreads=nthreads,
             tile_rows=tile_rows, window_rows=window_rows, rb=rb,
-            nfmax=NFMAX_RETRY, lit_w=lit_w,
+            nfmax=nxt, lit_w=lit_w,
             resolve_min_depth=resolve_min_depth, resolve_runs=resolve_runs,
         )
     if rc in PLAN_OVERFLOW_CODES:
