@@ -56,6 +56,12 @@ NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry ladder on overflow)
 # (overflow there -> fallback engine).
 NFMAX_STEPS = (64, 96, 160)
 NFMAX_RETRY = NFMAX_STEPS[-1]
+_NFMAX_LADDER = (NFMAX_ALLOC,) + NFMAX_STEPS
+# Adaptive starting rung: chain-heavy content overflows the 48-fire first
+# try, and a pipelined stream would pay that doomed build EVERY batch; the
+# hint starts the next default-capacity build at the smallest rung that
+# held the previous plan (benign race — worst case is one extra retry).
+_nfmax_hint = [NFMAX_ALLOC]
 # Host-side chain resolution threshold: resolving SHALLOW chains is
 # counterproductive (run-splitting adds records/fires while raw records stay
 # single, and the origin-run logic costs host CPU). Round-3 sweep across
@@ -185,7 +191,7 @@ def build_ring_plan_parts(
     tile_rows: int = TILE_ROWS,
     window_rows: int = WINDOW_ROWS,
     rb: int = RB,
-    nfmax: int = NFMAX_ALLOC,
+    nfmax: int | None = None,
     lit_w: int = LIT_W,
     resolve_min_depth: int = RESOLVE_MIN_DEPTH,
     resolve_runs: int = RESOLVE_RUNS,
@@ -210,6 +216,8 @@ def build_ring_plan_parts(
     """
     from .decode import _as_u8
 
+    if nfmax is None:
+        nfmax = _nfmax_hint[0]
     bufs = [_as_u8(p) for p, _ in parts]
     comp = np.concatenate(bufs) if len(bufs) != 1 else bufs[0]
     blk_off = np.zeros(len(parts), np.int64)
@@ -271,6 +279,10 @@ def build_ring_plan_parts(
     plan = RingPlan(
         f0, f1, f2, nf_lit, nf_tot, fper, litblk, total_out, ntiles,
         tile_rows, window_rows, lit_w, rb, seq, seq_holder,
+    )
+    used = int(nf_tot.max()) if ntiles else 1
+    _nfmax_hint[0] = next(
+        (s for s in _NFMAX_LADDER if s >= used), NFMAX_RETRY
     )
     return plan, comp
 
