@@ -142,6 +142,35 @@ def test_plan_deterministic_across_threads(corpus_34k):
                                       np.where(live, fb, 0))
 
 
+def test_nfmax_ladder_and_hint():
+    # Chain-dense content overflows the 48-fire first rung; the builder must
+    # climb the ladder to the smallest rung that fits (not jump to the hard
+    # cap) and remember it as the starting hint for the next default build.
+    from lz4_flex_tpu.ops import ringdecode as R
+
+    data = b"01"
+    while len(data) < 400_000:
+        data = data + data[-512:] * 9  # deep, record-dense chains
+    data = data[:400_000]
+    comp = _u8(block.compress(data))
+    R._nfmax_hint[0] = R.NFMAX_ALLOC  # reset whatever earlier tests left
+    plan = build_ring_plan(comp, len(data))
+    assert plan is not None
+    nfmax = plan.rec_f0.shape[1]
+    assert nfmax in (R.NFMAX_ALLOC,) + R.NFMAX_STEPS
+    # the hint equals the smallest ladder rung holding this plan's fires
+    used = int(plan.nf_tot.max())
+    expect = next(s for s in (R.NFMAX_ALLOC,) + R.NFMAX_STEPS if s >= used)
+    assert R._nfmax_hint[0] == expect
+    assert simulate_ring_plan(plan, comp) == data
+    # a light input afterwards decays the hint back down
+    light = b"abcdefgh" * 4000
+    lcomp = _u8(block.compress(light))
+    plan2 = build_ring_plan(lcomp, len(light))
+    assert plan2 is not None
+    assert R._nfmax_hint[0] <= expect
+
+
 def test_kernel_interpret_matches_sim(corpus_34k):
     # The Pallas kernel in interpret mode (CPU) against the golden bytes on
     # a block spanning two tiles.
