@@ -400,35 +400,53 @@ def decode_block_device(
     max_output_size: int,
     ext_dict=b"",
     *,
-    parse: str = "host",
+    parse: str = "ring",
     as_array: bool = False,
 ):
     """Decompress one raw LZ4 block on the device.
 
-    ``parse`` selects the engine: "ring" (host plan build feeding the Pallas
-    ring kernel — the production fast path; falls back to "host" when the
-    block does not fit the static plan shape), "host" (native C++ sequential
-    parse feeding the XLA expansion), or "device" (fully on-device
-    speculative parse, ops/parse.py).
+    ``parse`` selects the engine: "ring" (the default — host plan build
+    feeding the Pallas ring kernel, the production fast path; dictionaries
+    ride as a stored pseudo-block through the kernel's linked window; falls
+    back to "host" off-TPU or when the block does not fit the static plan
+    shape), "host" (native C++ sequential parse feeding the XLA expansion),
+    or "device" (fully on-device speculative parse, ops/parse.py).
 
     Returns bytes, or the device uint8 array when ``as_array`` is true.
     """
     comp = _as_u8(data)
     dic = _as_u8(ext_dict)
-    if parse == "ring" and dic.shape[0] == 0:
+    if parse == "ring":
         from .ringdecode import (
             build_ring_plan,
             decode_block_ring,
+            decode_parts_ring,
             ring_engine_available,
         )
 
-        plan = None
+        out = None
         if ring_engine_available():
             seq = parse_sequences_host(comp)
-            _validate(seq, 0, max_output_size)
-            plan = build_ring_plan(comp, seq.total_out)
-        if plan is not None:
-            out = decode_block_ring(comp, seq.total_out, plan=plan)
+            _validate(seq, dic.shape[0], max_output_size)
+            if dic.shape[0]:
+                # Dictionary decode through the ring: the dict rides as a
+                # stored pseudo-block ahead of the payload (only its last
+                # 64 KiB is reachable — LZ4 offsets cap at 65535), the
+                # linked-mode window resolves the cross references, and the
+                # dict prefix is sliced off — the same trick the streaming
+                # frame decoder uses for its linked window
+                # (frame/decoder.py::_decode_parts_device).
+                dtail = dic[-65536:]
+                out = decode_parts_ring(
+                    [(dtail, False), (comp, True)], independent=False
+                )
+                if out is not None:
+                    out = out[dtail.shape[0] :]
+            else:
+                plan = build_ring_plan(comp, seq.total_out)
+                if plan is not None:
+                    out = decode_block_ring(comp, seq.total_out, plan=plan)
+        if out is not None:
             if as_array:
                 import jax.numpy as jnp
 

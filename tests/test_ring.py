@@ -92,6 +92,22 @@ def test_parts_linked_window(corpus_65k):
     assert simulate_ring_plan(plan, comp) == data
 
 
+def test_dict_decode_as_stored_prefix(corpus_34k):
+    # decode_block_device's dict route: the dictionary rides as a stored
+    # pseudo-block ahead of the payload, linked mode resolves the cross
+    # references, the prefix is sliced off.
+    dic = corpus_34k[:30000]
+    tail = corpus_34k[30000:]
+    comp = block.compress_with_dict(tail, dic)
+    plan, buf = build_ring_plan_parts(
+        [(_u8(dic), False), (_u8(comp), True)],
+        len(dic) + len(tail),
+        independent=False,
+    )
+    assert plan is not None
+    assert simulate_ring_plan(plan, buf)[len(dic):] == tail
+
+
 def test_parts_independent_rejects_cross_block_refs(corpus_34k):
     # A linked stream decoded as independent must raise OffsetOutOfBounds
     # (reference: 'offset not contained in the decompressed buffer').
