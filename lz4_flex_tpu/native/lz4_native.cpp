@@ -850,30 +850,37 @@ inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
     c.recs.push_back(r);
 }
 
-// Literal record: lanes [lo, lo+len) of p0's row read comp bytes starting at
-// csrc, through the tile's literal window.
+// Literal record(s): lanes of p0's output row read comp bytes starting at
+// csrc, through the tile's literal window. The span SPLITS at source-row
+// boundaries and each record's S is its source ROW BASE (lit-window-local,
+// row-aligned): with S&127 == 0 the kernel's read (l+ph) & 127 stays inside
+// ONE table row — byte(l) = row[(csrc + (l-lo)) mod 128] lands exactly on
+// the source byte's in-row offset because the whole sub-span lies in that
+// row — so plain fires need a single one-hot row pull, not a pair.
 inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
     const RingShared& g = *c.g;
-    int32_t lo = (int32_t)(p0 & 127);
     if (g.litblk[c.t] < 0) {
         int32_t first = (int32_t)(csrc >> 7);
         g.litblk[c.t] = (first > 0 ? first - 1 : 0) / g.lit_w;
     }
     int64_t wbase = ((int64_t)g.litblk[c.t] * g.lit_w) << 7;
-    int64_t S = (csrc - wbase) - lo;
-    int32_t ph = 0;
-    if (S < 0) {  // only near the window/stream head with a high lane_lo
-        if (S <= -128) return TLZ4_PLAN_OVF_LITSPAN;
-        ph = (int32_t)(128 + S);  // byte(l) = (l+ph) mod 128 = l + S  (l >= lo)
-        S = 0;
-    }
-    // one row of slack so the kernel's second row pull stays in the window
-    if (S + 255 >= ((int64_t)2 * g.lit_w) << 7) return TLZ4_PLAN_OVF_LITSPAN;
     // depth/origin arrive uninitialized (np.empty): literal-sourced bytes
     // (sequence literals AND resolved-to-literal match bytes) are depth 0
     if (!skip_set) depth_fill(g.depth, p0, len, 0, c.te);
-    // S stays lit-window-local: literal fires pull from the lit subtable.
-    ring_push(c, p0, len, S, 128, ph, 0, 0);
+    int64_t k = 0;
+    while (k < len) {
+        int64_t s = csrc + k;
+        int64_t run = len - k;
+        int64_t room = 128 - (s & 127);
+        if (run > room) run = room;
+        int64_t S = (s - wbase) & ~(int64_t)127;
+        if (S < 0 || S + 128 > ((int64_t)2 * g.lit_w) << 7)
+            return TLZ4_PLAN_OVF_LITSPAN;
+        int64_t pk = p0 + k;
+        int32_t ph = (int32_t)((s - (pk & 127)) & 127);
+        ring_push(c, pk, (int32_t)run, S, 128, ph, 0, 0);
+        k += run;
+    }
     return 0;
 }
 
@@ -901,21 +908,27 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
     return 0;
 }
 
-// Plain (non-periodic) piece: lane l reads s0 + (l - lo). The row-normalized
-// base s0 - lo can undershoot the ring by < 128 bytes (offset near 64 KiB
-// plus a high lane_lo); compensate with the phase field.
+// Plain (non-periodic) piece: lane l reads s0 + (l - lo). Splits at source
+// row boundaries with row-aligned S (same single-pull contract as
+// ring_emit_lit above); s0 >= ring_base + 1 for any valid offset, and
+// ring_base is row-aligned, so S never undershoots the ring.
 inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0,
                            int32_t d_pre = -1) {
-    int32_t lo = (int32_t)(p0 & 127);
-    int64_t S = s0 - lo;
-    int32_t ph = 0;
-    if (S < c.ring_base) {
-        int64_t delta = c.ring_base - S;  // < 128 for any valid offset
-        if (delta >= 128) return TLZ4_PLAN_OVERFLOW;
-        ph = (int32_t)(128 - delta);  // byte(l) = (l+ph) mod 128 = l - delta
-        S = c.ring_base;              // ... for real lanes (l >= delta)
+    int64_t k = 0;
+    while (k < span) {
+        int64_t s = s0 + k;
+        int64_t run = span - k;
+        int64_t room = 128 - (s & 127);
+        if (run > room) run = room;
+        int64_t pk = p0 + k;
+        int32_t ph = (int32_t)((s - (pk & 127)) & 127);
+        int64_t S = s & ~(int64_t)127;
+        if (int rc_ = ring_emit_match(c, pk, (int32_t)run, S, 128, ph, s,
+                                      s + run, d_pre))
+            return rc_;
+        k += run;
     }
-    return ring_emit_match(c, p0, span, S, 128, ph, s0, s0 + span, d_pre);
+    return 0;
 }
 
 // Emit one match row-piece [p0, p0+span) using the tile-local origin map:
@@ -966,6 +979,10 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
         bool usable = nruns <= RT;
         if (usable) {
             int32_t w = 0;
+            const int64_t wbase =
+                g.litblk[c.t] >= 0
+                    ? ((int64_t)g.litblk[c.t] * g.lit_w) << 7
+                    : -1;  // window unset: the first lit record will set it
             for (int32_t k = 0; k < span; k++) {
                 int32_t o = ov[k];
                 bool brk =
@@ -974,6 +991,8 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
                     starts[w++] = k;
                     if (o < 0 && (int64_t)(-(int64_t)o - 1) < c.ring_base)
                         usable = false;  // telescoped origin left the ring
+                    if (o >= 0 && (int64_t)o < wbase)
+                        usable = false;  // comp origin precedes the window
                 }
             }
         }

@@ -429,22 +429,13 @@ def _ring_kernel(nfl_ref, nft_ref, lb_ref, fp_ref, blk0_ref, blk1_ref,
             row = (b2 >> 7) & 511
             rowS = (S >> 7)[:, 0:1]
             oh0 = jnp.where(rowsK == rowS, 1.0, 0.0).astype(dt)
-            oh1 = jnp.where(rowsK == rowS + 1, 1.0, 0.0).astype(dt)
             sub = tbl_ref[sub_lo:sub_hi, :]
             A = jax.lax.dot_general(
                 oh0, sub, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
-            B = jax.lax.dot_general(
-                oh1, sub, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
 
-            def tail(q):
-                qm = q & 127
-                gA = jnp.take_along_axis(A, qm, axis=1)
-                gB = jnp.take_along_axis(B, qm, axis=1)
-                byte = jnp.where(q < 128, gA, gB)
+            def tail(byte):
                 inr = (row < TR) & (lane >= lo) & (lane <= lo + lenm1)
                 # byte+1 packs value and coverage into ONE one-hot scatter:
                 # each output lane has a single writer per fire, and integers
@@ -460,18 +451,30 @@ def _ring_kernel(nfl_ref, nft_ref, lb_ref, fp_ref, blk0_ref, blk1_ref,
                 tbl_ref[WR : WR + TR, :] = new.astype(dt)
 
             # Fires holding a periodic (P<128) record are flagged in the
-            # plan's fper bitmask and pay the vector-division %P path; the
-            # common plain fire (P==128 throughout) takes &127 — measured
-            # 1.27 us/fire cheaper (experiments/fire_ablate3.py).
+            # plan's fper bitmask and pay the pair-pull + %P vector-division
+            # path. The common plain fire has row-aligned S (the builder
+            # splits pieces at source-row boundaries), so its read
+            # (lane+ph) & 127 stays inside row rowS: ONE one-hot pull, one
+            # gather, no row-pair select (the %P division alone measured
+            # 1.27 us/fire, experiments/fire_ablate3.py).
             isper = (fp_ref[b * NFW + j // 32] >> (j % 32)) & 1
 
             @pl.when(isper == 1)
             def _periodic():
-                tail((S & 127) + (lane + ph) % P)
+                oh1 = jnp.where(rowsK == rowS + 1, 1.0, 0.0).astype(dt)
+                B = jax.lax.dot_general(
+                    oh1, sub, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                q = (S & 127) + (lane + ph) % P
+                qm = q & 127
+                gA = jnp.take_along_axis(A, qm, axis=1)
+                gB = jnp.take_along_axis(B, qm, axis=1)
+                tail(jnp.where(q < 128, gA, gB))
 
             @pl.when(isper == 0)
             def _plain():
-                tail((S & 127) + ((lane + ph) & 127))
+                tail(jnp.take_along_axis(A, (lane + ph) & 127, axis=1))
 
             return carry
 
