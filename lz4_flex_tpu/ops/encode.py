@@ -350,7 +350,11 @@ def best_plane_core(u8, pool: int = 2):
     )
     spi = sp.astype(jnp.int32)
     best = jnp.zeros(pad, jnp.int32)
-    for j in range(1, 5):
+    # 16 closest candidates: the sorted-domain select loop is nearly free
+    # (measured +5% kernel over 4 candidates for -4.8% compressed size on
+    # the 10 MB text corpus; 24 candidates only bought a further -0.4% for
+    # +8% kernel).
+    for j in range(1, 17):
         same = jnp.concatenate([jnp.zeros(j, bool), sw[j:] == sw[:-j]])
         prev = jnp.concatenate([jnp.zeros(j, jnp.int32), spi[:-j]])
         c4 = jnp.concatenate([jnp.zeros(j, jnp.uint32), s4[:-j]])
