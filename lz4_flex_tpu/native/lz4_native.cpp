@@ -593,6 +593,12 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 #include <algorithm>
 #include <atomic>
 #include <thread>
+#include <mutex>
+#include <functional>
+#include <climits>
+#include <unistd.h>
+#include <sys/syscall.h>
+#include <linux/futex.h>
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
@@ -604,6 +610,82 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 
 namespace {
 constexpr int32_t RING_MAX_DEPTH = 250;  // depth[] is uint8
+
+// Persistent worker pool. A plan build runs three parallel phases (walks,
+// assembly, tiles) and pipelined decode builds one plan per buffer;
+// spawning + joining an 8-thread std::thread pool costs ~0.4 ms per phase
+// on the virtualized dev host (~1.2 ms/plan of pure overhead). Workers are
+// detached and parked on a FUTEX for the process lifetime — NOT a
+// std::condition_variable: this image's glibc (2.36) carries the notorious
+// pthread_cond lost-wakeup bug (BZ 25847, fixed in 2.41), reproduced here
+// hanging a caller in a predicate-true cv wait after ~50k run() cycles.
+// The raw futex has no such window: FUTEX_WAIT compares the generation
+// word against the expected value inside the kernel, so a wake between the
+// user-space check and the sleep turns the sleep into an immediate return.
+// One job runs at a time (job_mu): concurrent builder calls' phases
+// serialize, which on a 4-core host beats oversubscribing each other
+// anyway. Work functions must be internally work-stealing (they receive no
+// lane id); surplus workers simply find the work queue drained and finish.
+struct WorkPool {
+    std::mutex job_mu;  // serializes run() callers
+    std::atomic<uint32_t> gen{0};  // job generation; the futex word
+    std::atomic<int> active{0};    // workers still inside the current job
+    const std::function<void()>* job = nullptr;
+    int nworkers = 0;
+    pid_t owner = 0;
+
+    static void futex_wait(std::atomic<uint32_t>* w, uint32_t expect) {
+        syscall(SYS_futex, (uint32_t*)w, FUTEX_WAIT_PRIVATE, expect,
+                nullptr, nullptr, 0);
+    }
+    static void futex_wake_all(std::atomic<uint32_t>* w) {
+        syscall(SYS_futex, (uint32_t*)w, FUTEX_WAKE_PRIVATE, INT_MAX,
+                nullptr, nullptr, 0);
+    }
+
+    // `seen` is the generation at spawn time, read by the spawner under
+    // job_mu (gen only changes inside run(), which also holds job_mu).
+    // A worker can never lag a full generation: run() returns only after
+    // every worker decremented `active`, so every worker runs every job.
+    void worker(uint32_t seen) {
+        for (;;) {
+            uint32_t g;
+            while ((g = gen.load(std::memory_order_acquire)) == seen)
+                futex_wait(&gen, seen);
+            seen = g;
+            (*job)();  // job write is ordered before the gen bump (release)
+            active.fetch_sub(1, std::memory_order_release);
+        }
+    }
+
+    // Run fn on up to `nth` lanes: min(nth-1, grown pool) detached workers
+    // plus the calling thread. Returns after every participant finished.
+    // The caller spin-yields on `active` instead of sleeping: it just did
+    // its own share of the job, so the worker tails are microseconds away.
+    void run(int nth, const std::function<void()>& fn) {
+        if (nth <= 1) { fn(); return; }
+        std::lock_guard<std::mutex> jl(job_mu);
+        if (owner != getpid()) {  // post-fork child: parent's threads gone
+            nworkers = 0;
+            owner = getpid();
+            active.store(0, std::memory_order_relaxed);
+        }
+        while (nworkers < nth - 1) {
+            std::thread(&WorkPool::worker, this,
+                        gen.load(std::memory_order_relaxed)).detach();
+            nworkers++;
+        }
+        job = &fn;
+        active.store(nworkers, std::memory_order_relaxed);
+        gen.fetch_add(1, std::memory_order_release);
+        futex_wake_all(&gen);
+        fn();
+        while (active.load(std::memory_order_acquire) != 0)
+            std::this_thread::yield();
+        job = nullptr;
+    }
+};
+WorkPool g_pool;
 
 // NOTE: cell-granular (32 B) depth tracking was tried and REVERTED: the
 // conservative depth inflation cascades (cells mixing independent pieces
@@ -1359,14 +1441,7 @@ int64_t ring_parse_parallel(
             }
         };
         size_t pool_n = ni < (size_t)nth ? ni : (size_t)nth;
-        if (pool_n <= 1) {
-            pwork();
-        } else {
-            std::vector<std::thread> pool;
-            pool.reserve(pool_n);
-            for (size_t i = 0; i < pool_n; i++) pool.emplace_back(pwork);
-            for (auto& th : pool) th.join();
-        }
+        g_pool.run((int)pool_n, pwork);
     }
 
     auto pp1 = std::chrono::steady_clock::now();
@@ -1477,14 +1552,7 @@ int64_t ring_parse_parallel(
             }
         };
         size_t pool_n = splices.size() < (size_t)nth ? splices.size() : (size_t)nth;
-        if (pool_n <= 1) {
-            awork();
-        } else {
-            std::vector<std::thread> pool;
-            pool.reserve(pool_n);
-            for (size_t i = 0; i < pool_n; i++) pool.emplace_back(awork);
-            for (auto& th : pool) th.join();
-        }
+        g_pool.run((int)pool_n, awork);
     }
     // first error in authoritative (global sequence) order wins
     const ErrRec* first = nullptr;
@@ -1728,14 +1796,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     wm.done.store(1, std::memory_order_release);
 
     if (nth > ntiles) nth = ntiles;
-    if (nth <= 1) {
-        work();
-    } else {
-        std::vector<std::thread> pool;
-        pool.reserve(nth);
-        for (int32_t i = 0; i < nth; i++) pool.emplace_back(work);
-        for (auto& th : pool) th.join();
-    }
+    g_pool.run(nth, work);
     if (int32_t rc = err.load()) return rc;
     if (prof) {
         auto t2 = now();
