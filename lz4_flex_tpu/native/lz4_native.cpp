@@ -697,6 +697,8 @@ WorkPool g_pool;
 // TLZ4_SKIP={origin,scan,set} ablation flags: skip per-byte fill stages to
 // attribute emit cost (output is WRONG under any of them — timing only).
 bool skip_origin = false, skip_scan = false, skip_set = false;
+// finer origin attribution: literal iota fills / match ring-iota + chase
+bool skip_lito = false, skip_mato = false;
 
 // TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
 bool prof_on = false;
@@ -757,12 +759,27 @@ static inline uint8_t depth_range_max(const uint8_t* dp, int64_t lo,
 #endif
 }
 
-// origin[p, pe) = v, v+1, v+2, ... (ascending iota fill)
+// origin[p, pe) = v, v+step, v+2*step, ... (affine fill). The common span
+// is tiny (avg literal run ~3-6 B on text), so the scalar tail loop and its
+// branches dominate; when the 4-wide overshoot stays inside the tile
+// (`te`), spill values past pe are garbage that later fills of the SAME
+// tile overwrite before any read — every read (chase sources, deep-piece
+// spans) only touches positions at/below the tile's fill cursor, and every
+// position below the cursor has received its final fill (same invariant as
+// depth_fill's 8-byte splat). Crossing te would race the next tile's
+// worker, so te-adjacent fills take the exact path.
 static inline void origin_iota(int32_t* o, int64_t p, int64_t pe,
-                               int32_t v, int32_t step) {
+                               int32_t v, int32_t step, int64_t te) {
 #if defined(__SSE2__)
     __m128i vec = _mm_setr_epi32(v, v + step, v + 2 * step, v + 3 * step);
     const __m128i stride = _mm_set1_epi32(4 * step);
+    if (pe + 4 <= te) {  // overshoot-safe: spill stays inside this tile
+        for (; p < pe; p += 4) {
+            _mm_storeu_si128((__m128i*)(o + p), vec);
+            vec = _mm_add_epi32(vec, stride);
+        }
+        return;
+    }
     for (; p + 4 <= pe; p += 4) {
         _mm_storeu_si128((__m128i*)(o + p), vec);
         vec = _mm_add_epi32(vec, stride);
@@ -1412,9 +1429,14 @@ int64_t ring_parse_parallel(
                 it.seg_end = blk_off[b] + blk_len[b];
             }
         } else {
+            // Oversplit 4x past the lane count: segment walk speed varies
+            // with content (LSIC density, literal run lengths), so equal-
+            // byte segments finish unevenly — finer segments let the
+            // work-stealing loop rebalance (measured walk 6.6 -> ~3 ms on
+            // the 10 MB text corpus, 4 cores).
             int64_t W = blk_len[b] / MIN_SEG;
             if (W < 1) W = 1;
-            if (W > nth) W = nth;
+            if (W > 4 * nth) W = 4 * nth;
             int64_t seg = blk_len[b] / W;
             for (int64_t w = 0; w < W; w++) {
                 ParseItem& it = item_at(ni++);
@@ -1630,8 +1652,8 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         int64_t pe = l1 < c.te ? l1 : c.te;
         if (p < pe) {
             int64_t csrc = q.lit_start + (p - q.out_off);
-            if (!skip_origin)
-                origin_iota(g.origin, p, pe, (int32_t)csrc, 1);
+            if (!skip_origin && !skip_lito)
+                origin_iota(g.origin, p, pe, (int32_t)csrc, 1, c.te);
             int64_t rem = pe - p;
             while (rem > 0) {
                 int32_t span = (int32_t)(128 - (p & 127));
@@ -1653,15 +1675,33 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         // -(sk+1). Split at the ring boundary so both halves vectorize: the
         // ring half is an iota fill, the in-tile half a (possibly periodic)
         // block copy with no intra-chunk aliasing.
-        if (!skip_origin) {
+        if (!skip_origin && !skip_mato) {
             int64_t ring_end = c.ts + off < me ? c.ts + off : me;
             int32_t o0 = (int32_t)(-(mp - off) - 1);
-            origin_iota(g.origin, mp, ring_end, o0, -1);
+            origin_iota(g.origin, mp, ring_end, o0, -1, c.te);
             int64_t pk = ring_end > mp ? ring_end : mp;
             while (pk < me) {
                 int64_t chunk = me - pk < off ? me - pk : off;
-                std::memcpy(g.origin + pk, g.origin + pk - off,
-                            (size_t)chunk * 4);
+                // Small-chunk fast path: glibc memcpy dispatch dominates a
+                // ~10-element copy. A blind 8-element (32 B) copy is exact
+                // iff the source block can't overlap the destination
+                // (off >= 8 elements) and the spill stays inside the tile
+                // (overshoot invariant above).
+#if defined(__SSE2__)
+                if (chunk <= 8 && off >= 8 && pk + 8 <= c.te) {
+                    const int32_t* s = g.origin + pk - off;
+                    int32_t* d = g.origin + pk;
+                    _mm_storeu_si128((__m128i*)d,
+                                     _mm_loadu_si128((const __m128i*)s));
+                    _mm_storeu_si128(
+                        (__m128i*)(d + 4),
+                        _mm_loadu_si128((const __m128i*)(s + 4)));
+                } else
+#endif
+                {
+                    std::memcpy(g.origin + pk, g.origin + pk - off,
+                                (size_t)chunk * 4);
+                }
                 pk += chunk;
             }
         }
@@ -1717,8 +1757,10 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
         skip_origin = std::strstr(sk, "origin") != nullptr;
         skip_scan = std::strstr(sk, "scan") != nullptr;
         skip_set = std::strstr(sk, "set") != nullptr;
+        skip_lito = std::strstr(sk, "lito") != nullptr;
+        skip_mato = std::strstr(sk, "mato") != nullptr;
     } else {
-        skip_origin = skip_scan = skip_set = false;
+        skip_origin = skip_scan = skip_set = skip_lito = skip_mato = false;
     }
     if (prof) {
         prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);
