@@ -1270,7 +1270,9 @@ int64_t ring_parse_blocks(
 // the authoritative chain actually reaches the failure point.
 // ---------------------------------------------------------------------------
 
-struct ParseItem {
+struct alignas(128) ParseItem {  // two lines: keep workers' hot vector
+                                 // headers (size/ptr updated every push)
+                                 // off each other's cache lines
     int32_t blk = 0;
     uint8_t stored = 0;
     int64_t ip0 = 0, seg_end = 0;  // walk [ip0, first token start >= seg_end)
