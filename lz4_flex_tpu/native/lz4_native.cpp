@@ -699,6 +699,8 @@ WorkPool g_pool;
 bool skip_origin = false, skip_scan = false, skip_set = false;
 // finer origin attribution: literal iota fills / match ring-iota + chase
 bool skip_lito = false, skip_mato = false;
+// skip_pack: drop ring_pack_tile; skip_push: drop record buffering too
+bool skip_pack = false, skip_push = false;
 
 // TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
 bool prof_on = false;
@@ -814,11 +816,37 @@ static inline void depth_fill(uint8_t* dp, int64_t p0, int64_t len,
     std::memset(dp + p0, d, (size_t)len);
 }
 
-struct RingRec {
-    int32_t S;           // class-local byte address (lit window / ring+tile)
-    int16_t row;         // tile-local output row
-    uint8_t cls;         // 0 = literal (lit-window pull), 1 = match
-    uint8_t d, ph, P, lo, len;  // len is the true length (1..128)
+// Group-segregated record streams: ring_push writes each record ONCE, in
+// its final packed field form, into the SoA chunk list of its
+// (depth-group, plain/periodic) stream; ring_pack_tile then lays groups
+// into fire rows with bulk sequential copies. This replaces the previous
+// buffer-all-records vector + count pass + per-record 3-array scatter
+// (~45% of the tiles-phase wall on the 10 MB text corpus).
+constexpr int RCHUNK = 512;  // records per chunk (3 x 2 KiB SoA payload)
+struct RecChunk {
+    RecChunk* next;
+    int32_t n;
+    int32_t v0[RCHUNK], v1[RCHUNK], v2[RCHUNK];
+};
+struct GroupStream {
+    RecChunk* head = nullptr;
+    RecChunk* tail = nullptr;
+    int64_t count = 0;
+};
+// Per-worker chunk recycler: chunks persist across tiles and calls (the
+// pool keeps workers alive), so steady state allocates nothing.
+struct RecArena {
+    std::vector<RecChunk*> all;
+    size_t used = 0;
+    ~RecArena() { for (RecChunk* c : all) delete c; }
+    RecChunk* grab() {
+        if (used == all.size()) all.push_back(new RecChunk);
+        RecChunk* c = all[used++];
+        c->n = 0;
+        c->next = nullptr;
+        return c;
+    }
+    void reset() { used = 0; }
 };
 
 struct RingSeq {
@@ -850,103 +878,116 @@ struct RingTile {
     int32_t t;
     int64_t ts, te, ring_base;  // ring_base = ts - WR*128
     int64_t deep_pieces = 0;    // pieces that entered the resolution branch
-    std::vector<RingRec> recs;
+    int64_t nrec = 0;
+    int32_t maxd = 0;           // max match depth pushed so far
+    RecArena* arena;
+    // stream id 2*group + periodic, group = 0 literals / 1+d matches
+    std::vector<GroupStream>* gs;
 };
 
-// Compact batched-fire packing for one finished tile: records sorted
+// splat[p, pe) = v (int32), 4-wide
+static inline void stamp_i32(int32_t* o, int64_t p, int64_t pe, int32_t v) {
+#if defined(__SSE2__)
+    const __m128i vec = _mm_set1_epi32(v);
+    for (; p + 4 <= pe; p += 4) _mm_storeu_si128((__m128i*)(o + p), vec);
+#endif
+    for (; p < pe; p++) o[p] = v;
+}
+
+// Compact batched-fire packing for one finished tile: streams laid out
 // [all literals][matches by depth asc], every group padded to a whole
 // RB-record fire so no fire mixes depth groups (a fire reads the table
 // once before its writes — intra-fire dependencies would break).
 // Record k of the stream lands at field arrays [t, k / RB, k % RB]: fire
-// j = k / RB consumes contiguous row j.
+// j = k / RB consumes contiguous row j. Group order: group 0 = literals,
+// group 1+d = matches of depth d. Periodic records (P < 128 — wrapped
+// self-overlap matches) sit in each group's tail partition so only the
+// fires overlapping that tail pay the kernel's (lane+ph)%P vector-division
+// path; every other fire takes &127 (measured 1.27 us/fire cheaper —
+// experiments/fire_ablate3.py). Order within a depth group is free: each
+// output lane has exactly one writer per tile.
 int ring_pack_tile(RingTile& c) {
     const RingShared& g = *c.g;
     const int64_t RB = g.rb;
     const int64_t cap = RB * g.nfmax;
-    if (c.recs.empty()) {
+    g.nf_lit[c.t] = 0;
+    if (c.nrec == 0) {
         // fires beyond nf_tot never execute, so the record slots can stay
         // uninitialized (np.empty garbage is never read by the kernel)
-        g.nf_lit[c.t] = 0;
         g.nf_tot[c.t] = 0;
         return 0;
     }
-    int32_t maxd = 0;
-    int64_t nlit = 0;
-    for (const auto& r : c.recs) {
-        if (r.cls == 0) nlit++;
-        else if (r.d > maxd) maxd = r.d;
-    }
-    // group 0 = literals, group 1+d = matches of depth d. Periodic records
-    // (P < 128 — wrapped self-overlap matches) sort to each group's tail so
-    // only the fires overlapping that tail pay the kernel's (lane+ph)%P
-    // vector-division path; every other fire takes &127 (measured 1.27
-    // us/fire cheaper — experiments/fire_ablate3.py). Order within a depth
-    // group is free: each output lane has exactly one writer per tile.
-    std::vector<int64_t> cnt((size_t)maxd + 2, 0), nper((size_t)maxd + 2, 0);
-    cnt[0] = nlit;  // literals always carry P == 128 (ring_emit_lit)
-    for (const auto& r : c.recs)
-        if (r.cls) {
-            cnt[(size_t)r.d + 1]++;
-            if (r.P != 128) nper[(size_t)r.d + 1]++;
-        }
-    std::vector<int64_t> base((size_t)maxd + 3, 0);
-    for (int32_t i = 0; i <= maxd + 1; i++)
-        base[i + 1] = base[i] + ((cnt[i] + RB - 1) / RB) * RB;
-    if (base[maxd + 2] > cap) return TLZ4_PLAN_OVF_SLOT;
-    g.nf_lit[c.t] = (int32_t)(base[1] / RB);
-    g.nf_tot[c.t] = (int32_t)(base[(size_t)maxd + 2] / RB);
     const int32_t nfw = (g.nfmax + 31) / 32;
-    for (size_t gi = 0; gi <= (size_t)maxd + 1; gi++) {
-        if (!nper[gi]) continue;
-        int64_t flo = (base[gi] + cnt[gi] - nper[gi]) / RB;
-        int64_t fhi = (base[gi] + cnt[gi] - 1) / RB;
-        for (int64_t f = flo; f <= fhi; f++)
-            g.fper[(int64_t)c.t * nfw + (f >> 5)] |= 1 << (f & 31);
-    }
     const int64_t tbase = (int64_t)c.t * cap;
-    // The arrays arrive uninitialized (np.empty — zeroing them per call
-    // costs more than the build itself) and fires beyond nf_tot never
-    // execute, so only the pad slots inside each group's fire-rounded span
-    // need sentinel stamping (row = tile_rows scatters nowhere, P = 128
-    // keeps lane math benign); record slots are overwritten below.
-    //
-    // Layout (ntiles, NF, RB): record k of the stream lands at flat offset
-    // k — fire j = k / RB is a contiguous RB-int32 row, so both the
-    // stamping and the record scatter below are sequential writes.
-    for (size_t gi = 0; gi <= (size_t)maxd + 1; gi++) {
-        for (int64_t k = base[gi] + cnt[gi]; k < base[gi + 1]; k++) {
-            g.f0[tbase + k] = 0;
-            g.f1[tbase + k] = 127 << 7;
-            g.f2[tbase + k] = g.tile_rows << 7;
+    const size_t nstreams = c.gs->size();
+    int64_t base = 0;
+    for (int32_t gi = 0; (size_t)2 * gi < nstreams; gi++) {
+        GroupStream* sp = &(*c.gs)[2 * (size_t)gi];
+        GroupStream* sq = (size_t)(2 * gi + 1) < nstreams
+                              ? &(*c.gs)[2 * (size_t)gi + 1]
+                              : nullptr;
+        int64_t nper = sq ? sq->count : 0;
+        int64_t cnt = sp->count + nper;
+        if (!cnt) continue;
+        int64_t gend = ((base + cnt + RB - 1) / RB) * RB;
+        if (gend > cap) return TLZ4_PLAN_OVF_SLOT;
+        // bulk sequential copies: plain chunks from the group base, then
+        // the periodic tail partition
+        int64_t k = tbase + base;
+        for (int pass = 0; pass < 2; pass++) {
+            GroupStream* s = pass ? sq : sp;
+            if (!s) continue;
+            for (RecChunk* ch = s->head; ch; ch = ch->next) {
+                std::memcpy(g.f0 + k, ch->v0, (size_t)ch->n * 4);
+                std::memcpy(g.f1 + k, ch->v1, (size_t)ch->n * 4);
+                std::memcpy(g.f2 + k, ch->v2, (size_t)ch->n * 4);
+                k += ch->n;
+            }
         }
+        if (nper) {
+            int64_t flo = (base + cnt - nper) / RB;
+            int64_t fhi = (base + cnt - 1) / RB;
+            for (int64_t f = flo; f <= fhi; f++)
+                g.fper[(int64_t)c.t * nfw + (f >> 5)] |= 1 << (f & 31);
+        }
+        // The arrays arrive uninitialized (np.empty — zeroing them per
+        // call costs more than the build itself) and fires beyond nf_tot
+        // never execute, so only the pad slots inside each group's
+        // fire-rounded span need sentinel stamping (row = tile_rows
+        // scatters nowhere, P = 128 keeps lane math benign; f0/f1 are
+        // stamped too so plans stay byte-deterministic across thread
+        // counts and pool generations).
+        stamp_i32(g.f0, tbase + base + cnt, tbase + gend, 0);
+        stamp_i32(g.f1, tbase + base + cnt, tbase + gend, 127 << 7);
+        stamp_i32(g.f2, tbase + base + cnt, tbase + gend, g.tile_rows << 7);
+        if (gi == 0) g.nf_lit[c.t] = (int32_t)(gend / RB);
+        base = gend;
     }
-    // Scatter: plain records fill from each group's base, periodic ones
-    // from its tail partition (cnt - nper onward).
-    std::vector<int64_t> fill((size_t)maxd + 2, 0), fillp((size_t)maxd + 2, 0);
-    for (const auto& r : c.recs) {
-        size_t gi = r.cls ? (size_t)r.d + 1 : 0;
-        bool per = r.cls && r.P != 128;
-        int64_t k = per ? cnt[gi] - nper[gi] + fillp[gi]++ : fill[gi]++;
-        int64_t at = tbase + base[gi] + k;
-        g.f0[at] = r.S;
-        g.f1[at] = r.ph | ((int32_t)(r.P - 1) << 7) | ((int32_t)r.lo << 14);
-        g.f2[at] = (int32_t)(r.len - 1) | ((int32_t)r.row << 7);
-    }
+    g.nf_tot[c.t] = (int32_t)(base / RB);
     return 0;
 }
 
 inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
                       int32_t P, int32_t ph, int32_t d, uint8_t cls) {
-    RingRec r;
-    r.S = (int32_t)S;
-    r.row = (int16_t)((p0 >> 7) % c.g->tile_rows);
-    r.cls = cls;
-    r.d = (uint8_t)d;
-    r.ph = (uint8_t)ph;
-    r.P = (uint8_t)P;  // P <= 128 fits
-    r.lo = (uint8_t)(p0 & 127);
-    r.len = (uint8_t)len;
-    c.recs.push_back(r);
+    if (skip_push) return;
+    size_t sid = cls ? 2 * (size_t)(d + 1) + (P != 128 ? 1 : 0) : 0;
+    if (sid >= c.gs->size()) c.gs->resize(sid + 2);
+    GroupStream& s = (*c.gs)[sid];
+    RecChunk* ch = s.tail;
+    if (!ch || ch->n == RCHUNK) {
+        ch = c.arena->grab();
+        if (s.tail) s.tail->next = ch;
+        else s.head = ch;
+        s.tail = ch;
+    }
+    int32_t k = ch->n++;
+    ch->v0[k] = (int32_t)S;
+    ch->v1[k] = ph | ((P - 1) << 7) | ((int32_t)(p0 & 127) << 14);
+    ch->v2[k] = (len - 1) |
+                ((int32_t)((p0 >> 7) % c.g->tile_rows) << 7);
+    s.count++;
+    c.nrec++;
+    if (cls && d > c.maxd) c.maxd = d;
 }
 
 // Literal record(s): lanes of p0's output row read comp bytes starting at
@@ -1606,18 +1647,18 @@ int64_t ring_parse_parallel(
 int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
                     const RingWatermark* wm, int32_t t) {
     auto tt0 = std::chrono::steady_clock::now();
-    // Per-worker reusable record buffer: capacity persists across tiles
-    // and calls (a fresh vector per tile costs alloc + fault churn).
-    static thread_local std::vector<RingRec> recs_tls;
+    // Per-worker reusable stream state: chunk arena and stream headers
+    // persist across tiles and calls (the pool keeps workers alive), so
+    // the steady state allocates nothing.
+    static thread_local RecArena arena_tls;
+    static thread_local std::vector<GroupStream> gs_tls;
     RingTile c;
     c.g = &g;
     c.t = t;
-    c.recs.swap(recs_tls);
-    c.recs.clear();
-    struct RecsGuard {  // swap the buffer back on every return path
-        std::vector<RingRec>*a, *b;
-        ~RecsGuard() { a->swap(*b); }
-    } recs_guard{&c.recs, &recs_tls};
+    arena_tls.reset();
+    gs_tls.clear();
+    c.arena = &arena_tls;
+    c.gs = &gs_tls;
     c.ts = ((int64_t)t * g.tile_rows) << 7;
     c.te = c.ts + (((int64_t)g.tile_rows) << 7);
     c.ring_base = c.ts - (((int64_t)g.window_rows) << 7);
@@ -1716,6 +1757,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         }
     }
     if (g.litblk[t] < 0) g.litblk[t] = 0;
+    if (skip_pack) { g.nf_lit[t] = 0; g.nf_tot[t] = 0; return 0; }
     if (prof_on) {
         auto tp = std::chrono::steady_clock::now();
         prof_emit_ns.fetch_add(
@@ -1728,8 +1770,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
                 std::chrono::steady_clock::now() - tp)
                 .count(),
             std::memory_order_relaxed);
-        prof_recs.fetch_add((int64_t)c.recs.size(),
-                            std::memory_order_relaxed);
+        prof_recs.fetch_add(c.nrec, std::memory_order_relaxed);
         if (c.deep_pieces) {
             prof_deep_tiles.fetch_add(1, std::memory_order_relaxed);
             prof_deep_pieces.fetch_add(c.deep_pieces,
@@ -1760,9 +1801,12 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
         skip_scan = std::strstr(sk, "scan") != nullptr;
         skip_set = std::strstr(sk, "set") != nullptr;
         skip_lito = std::strstr(sk, "lito") != nullptr;
+        skip_pack = std::strstr(sk, "pack") != nullptr;
+        skip_push = std::strstr(sk, "push") != nullptr;
         skip_mato = std::strstr(sk, "mato") != nullptr;
     } else {
         skip_origin = skip_scan = skip_set = skip_lito = skip_mato = false;
+        skip_pack = skip_push = false;
     }
     if (prof) {
         prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);
