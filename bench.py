@@ -190,12 +190,16 @@ def main() -> None:
     # verify inside read, src/frame/decompress.rs:323-329). The 4-byte
     # checksum is what crosses to the host, and it must equal the value
     # computed independently from the expected plaintext.
+    # 2-D form on purpose: flattening to 1-D and reducing 10.7M elements
+    # lowers to a ~10 ms sequential pass on XLA:TPU (the 1-D trap — see
+    # CLAUDE.md); the (rows, 128) row-major reduce is sub-ms.
     @jax.jit
     def consume(out):
-        flat = out.astype(jnp.uint32).reshape(-1)
-        idx = jnp.arange(flat.shape[0], dtype=jnp.uint32)
-        w = jnp.where(idx < jnp.uint32(n), (idx * 131 + 7) & 0xFFFF, 0)
-        return jnp.sum(flat * w, dtype=jnp.uint32)
+        r = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0)
+        l = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 1)
+        idx = r * jnp.uint32(out.shape[1]) + l
+        w = jnp.where(idx < jnp.uint32(n), (idx * jnp.uint32(131) + 7) & 0xFFFF, 0)
+        return jnp.sum(out.astype(jnp.uint32) * w, dtype=jnp.uint32)
 
     def expected_checksum() -> int:
         flat = np.zeros(ntiles * plan.tile_rows * 128, np.uint32)

@@ -1004,9 +1004,8 @@ inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
         g.litblk[c.t] = (first > 0 ? first - 1 : 0) / g.lit_w;
     }
     int64_t wbase = ((int64_t)g.litblk[c.t] * g.lit_w) << 7;
-    // depth/origin arrive uninitialized (np.empty): literal-sourced bytes
-    // (sequence literals AND resolved-to-literal match bytes) are depth 0
-    if (!skip_set) depth_fill(g.depth, p0, len, 0, c.te);
+    // depth 0 comes from the tile's pre-zero memset (ring_build_tile), so
+    // literal-sourced bytes need no per-span depth fill
     int64_t k = 0;
     while (k < len) {
         int64_t s = csrc + k;
@@ -1043,7 +1042,8 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
             d = (int32_t)depth_range_max(g.depth, lo_s, src_hi) + 1;
     }
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
-    if (!skip_set) depth_fill(g.depth, p0, len, (uint8_t)d, c.te);
+    // d == 0 is already the pre-zeroed value; only nonzero depths write
+    if (d && !skip_set) depth_fill(g.depth, p0, len, (uint8_t)d, c.te);
     ring_push(c, p0, len, S_local, P, ph, d, 1);
     return 0;
 }
@@ -1661,6 +1661,13 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
     c.gs = &gs_tls;
     c.ts = ((int64_t)t * g.tile_rows) << 7;
     c.te = c.ts + (((int64_t)g.tile_rows) << 7);
+    // Pre-zero the tile's depth slice (32 KB, L2-resident) so the dominant
+    // depth value (0: literal bytes, pre-tile-source and resolved matches)
+    // needs no per-span fills — only nonzero depths write.
+    if (!skip_set) {
+        int64_t ze = c.te < g.expected_out ? c.te : g.expected_out;
+        if (ze > c.ts) std::memset(g.depth + c.ts, 0, (size_t)(ze - c.ts));
+    }
     c.ring_base = c.ts - (((int64_t)g.window_rows) << 7);
     g.litblk[t] = -1;
 
