@@ -701,11 +701,16 @@ bool skip_origin = false, skip_scan = false, skip_set = false;
 bool skip_lito = false, skip_mato = false;
 // skip_pack: drop ring_pack_tile; skip_push: drop record buffering too
 bool skip_pack = false, skip_push = false;
+// TLZ4_HARD_GROUPS=1: pad every depth group to a whole fire (pre-soft
+// layout) — A/B and debugging
+bool hard_groups = false;
 
 // TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
 bool prof_on = false;
 std::atomic<int64_t> prof_emit_ns{0}, prof_pack_ns{0}, prof_recs{0};
 std::atomic<int64_t> prof_deep_tiles{0}, prof_deep_pieces{0};
+std::atomic<int64_t> prof_gfires[18];   // fires per group (17+ lumped)
+std::atomic<int64_t> prof_gslots[18];   // used record slots per group
 
 // max of depth[lo, hi) — branch-free SSE on every span length: short spans
 // (the avg ~6 B common case) use ONE masked 16-byte overlap load (bytes
@@ -895,17 +900,32 @@ static inline void stamp_i32(int32_t* o, int64_t p, int64_t pe, int32_t v) {
 }
 
 // Compact batched-fire packing for one finished tile: streams laid out
-// [all literals][matches by depth asc], every group padded to a whole
-// RB-record fire so no fire mixes depth groups (a fire reads the table
-// once before its writes — intra-fire dependencies would break).
-// Record k of the stream lands at field arrays [t, k / RB, k % RB]: fire
-// j = k / RB consumes contiguous row j. Group order: group 0 = literals,
-// group 1+d = matches of depth d. Periodic records (P < 128 — wrapped
-// self-overlap matches) sit in each group's tail partition so only the
-// fires overlapping that tail pay the kernel's (lane+ph)%P vector-division
-// path; every other fire takes &127 (measured 1.27 us/fire cheaper —
-// experiments/fire_ablate3.py). Order within a depth group is free: each
-// output lane has exactly one writer per tile.
+// [all literals][matches by depth asc]. Record k of the stream lands at
+// field arrays [t, k / RB, k % RB]: fire j = k / RB consumes contiguous
+// row j. Group order: group 0 = literals, group 1+d = matches of depth d.
+// Periodic records (P < 128 — wrapped self-overlap matches) sit in each
+// group's tail partition so mostly the fires overlapping that tail pay
+// the kernel's (lane+ph)%P vector-division path; plain fires take &127
+// (measured 1.27 us/fire cheaper — experiments/fire_ablate3.py). Order
+// within a depth group is free: each output lane has exactly one writer
+// per tile.
+//
+// The literal group keeps a HARD fire boundary (the kernel's subtable
+// select — lit window vs ring — is per fire, j < nf_lit). Match groups
+// use SOFT boundaries: records append consecutively across depth groups,
+// and a fire only pads early when the candidate record's read rows alias
+// a tile row already written by records in the open fire. Safety: a fire
+// reads the table once before its writes, so the only intra-fire hazard
+// is a record sourcing bytes written by the same fire. Byte depths are
+// unique per byte, so a group-d record's sources (depth < d) can never be
+// bytes written by same-or-lower groups in the fire (depth >= d... the
+// aliasing candidate set is exactly the records already appended, whose
+// write depths are <= d, and only writes at depth == the source byte's
+// depth could collide) — the row-granular check against the open fire's
+// write-row set is a conservative superset of that hazard. This recovers
+// most of the ~25% fire padding that hard per-group rounding cost
+// (measured 7497 -> ~6030 fires on the 10 MB text corpus).
+// TLZ4_HARD_GROUPS=1 restores hard boundaries for A/B.
 int ring_pack_tile(RingTile& c) {
     const RingShared& g = *c.g;
     const int64_t RB = g.rb;
@@ -920,6 +940,97 @@ int ring_pack_tile(RingTile& c) {
     const int32_t nfw = (g.nfmax + 31) / 32;
     const int64_t tbase = (int64_t)c.t * cap;
     const size_t nstreams = c.gs->size();
+
+    if (!hard_groups) {
+        // ---- group 0 (literals): hard boundary, bulk copies ----
+        int64_t k = 0;
+        {
+            GroupStream& s0 = (*c.gs)[0];
+            if (s0.count) {
+                int64_t gend = ((s0.count + RB - 1) / RB) * RB;
+                if (gend > cap) return TLZ4_PLAN_OVF_SLOT;
+                for (RecChunk* ch = s0.head; ch; ch = ch->next) {
+                    std::memcpy(g.f0 + tbase + k, ch->v0, (size_t)ch->n * 4);
+                    std::memcpy(g.f1 + tbase + k, ch->v1, (size_t)ch->n * 4);
+                    std::memcpy(g.f2 + tbase + k, ch->v2, (size_t)ch->n * 4);
+                    k += ch->n;
+                }
+                stamp_i32(g.f0, tbase + k, tbase + gend, 0);
+                stamp_i32(g.f1, tbase + k, tbase + gend, 127 << 7);
+                stamp_i32(g.f2, tbase + k, tbase + gend, g.tile_rows << 7);
+                k = gend;
+                g.nf_lit[c.t] = (int32_t)(gend / RB);
+            }
+        }
+        // ---- match groups: soft boundaries ----
+        // Two write-row sets per open fire: W collects every append; Wfz
+        // (frozen) holds only writes from groups STRICTLY BELOW the current
+        // one — candidates are checked against Wfz alone, because a group-d
+        // record's sources (bytes of depth < d) can never be bytes written
+        // by same-group records (each byte has exactly one depth), so
+        // same-group row sharing is provably safe and must not pad.
+        const int32_t WR = g.window_rows, TR = g.tile_rows;
+        uint64_t W[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        uint64_t Wfz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        bool fire_per = false;
+        auto close_fire = [&](int64_t upto) {  // pad [k, upto), flag, reset
+            if (upto > k) {
+                stamp_i32(g.f0, tbase + k, tbase + upto, 0);
+                stamp_i32(g.f1, tbase + k, tbase + upto, 127 << 7);
+                stamp_i32(g.f2, tbase + k, tbase + upto, g.tile_rows << 7);
+            }
+            if (fire_per) {
+                int64_t f = (upto - 1) / RB;
+                g.fper[(int64_t)c.t * nfw + (f >> 5)] |= 1 << (f & 31);
+            }
+            std::memset(W, 0, sizeof(W));
+            std::memset(Wfz, 0, sizeof(Wfz));
+            fire_per = false;
+            k = upto;
+        };
+        for (int32_t gi = 1; (size_t)2 * gi < nstreams; gi++) {
+            std::memcpy(Wfz, W, sizeof(W));  // freeze prior groups' writes
+            for (int pass = 0; pass < 2; pass++) {
+                size_t sid = 2 * (size_t)gi + pass;
+                if (sid >= nstreams) break;
+                for (RecChunk* ch = (*c.gs)[sid].head; ch; ch = ch->next) {
+                    for (int32_t i = 0; i < ch->n; i++) {
+                        int32_t v0 = ch->v0[i], v1 = ch->v1[i], v2 = ch->v2[i];
+                        int32_t r0 = v0 >> 7;
+                        bool per = ((v1 >> 7) & 127) != 127;
+                        // conflict: a read row written by an EARLIER group
+                        // in the open fire (periodic pulls rows r0, r0+1)
+                        bool hit = false;
+                        if (r0 >= WR && r0 < WR + TR)
+                            hit = (Wfz[(r0 - WR) >> 6] >>
+                                   ((r0 - WR) & 63)) & 1;
+                        if (per && !hit && r0 + 1 >= WR && r0 + 1 < WR + TR)
+                            hit = (Wfz[(r0 + 1 - WR) >> 6] >>
+                                   ((r0 + 1 - WR) & 63)) & 1;
+                        if (hit)
+                            close_fire(((k + RB - 1) / RB) * RB);
+                        if (k >= cap) return TLZ4_PLAN_OVF_SLOT;
+                        g.f0[tbase + k] = v0;
+                        g.f1[tbase + k] = v1;
+                        g.f2[tbase + k] = v2;
+                        int32_t wrow = (v2 >> 7) & 511;
+                        W[wrow >> 6] |= 1ull << (wrow & 63);
+                        fire_per |= per;
+                        k++;
+                        if (!(k % RB)) close_fire(k);
+                        if (prof_on)
+                            prof_gslots[gi < 17 ? gi : 17].fetch_add(
+                                1, std::memory_order_relaxed);
+                    }
+                }
+            }
+        }
+        if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
+        if (k > cap) return TLZ4_PLAN_OVF_SLOT;
+        g.nf_tot[c.t] = (int32_t)(k / RB);
+        return 0;
+    }
+
     int64_t base = 0;
     for (int32_t gi = 0; (size_t)2 * gi < nstreams; gi++) {
         GroupStream* sp = &(*c.gs)[2 * (size_t)gi];
@@ -961,6 +1072,12 @@ int ring_pack_tile(RingTile& c) {
         stamp_i32(g.f1, tbase + base + cnt, tbase + gend, 127 << 7);
         stamp_i32(g.f2, tbase + base + cnt, tbase + gend, g.tile_rows << 7);
         if (gi == 0) g.nf_lit[c.t] = (int32_t)(gend / RB);
+        if (prof_on) {
+            int gx = gi < 17 ? gi : 17;
+            prof_gfires[gx].fetch_add((gend - base) / RB,
+                                      std::memory_order_relaxed);
+            prof_gslots[gx].fetch_add(cnt, std::memory_order_relaxed);
+        }
         base = gend;
     }
     g.nf_tot[c.t] = (int32_t)(base / RB);
@@ -1815,9 +1932,14 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
         skip_origin = skip_scan = skip_set = skip_lito = skip_mato = false;
         skip_pack = skip_push = false;
     }
+    {
+        hard_groups = std::getenv("TLZ4_HARD_GROUPS") != nullptr;
+    }
     if (prof) {
         prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);
         prof_deep_tiles.store(0); prof_deep_pieces.store(0);
+        for (auto& a : prof_gfires) a.store(0);
+        for (auto& a : prof_gslots) a.store(0);
     }
     auto now = [] { return std::chrono::steady_clock::now(); };
     auto t0 = now();
@@ -1905,6 +2027,13 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
             prof_emit_ns.load() / 1e6, prof_pack_ns.load() / 1e6,
             (long long)prof_recs.load(), (long long)prof_deep_tiles.load(),
             ntiles, (long long)prof_deep_pieces.load());
+        std::fprintf(stderr, "[tlz4 plan] group (fires, kslots):");
+        for (int i = 0; i < 18; i++)
+            if (prof_gfires[i].load())
+                std::fprintf(stderr, " g%d(%lld, %lld)", i,
+                             (long long)prof_gfires[i].load(),
+                             (long long)(prof_gslots[i].load() / 1000));
+        std::fprintf(stderr, "\n");
     }
     return nseq;
 }

@@ -69,7 +69,11 @@ _nfmax_hint = [NFMAX_ALLOC]
 # vs md=5 (33.2->28.5 text, 44.9->35.5 mixed, 21.5->21.1 JSON) for +6.7%
 # text fires (-3.7% JSON) — a net win while plans, not kernels, bind.
 RESOLVE_MIN_DEPTH = 8
-RESOLVE_RUNS = 6
+# 16 (was 6): letting deep pieces resolve into more affine runs removes
+# most of the nearly-empty depth>=8 fire groups — text fires 6939 -> 6821
+# with soft fire boundaries, kernel 13.8 -> 13.4 ms at hard ones (measured
+# on TPU; rr=32 bought nothing further)
+RESOLVE_RUNS = 16
 
 PLAN_OVERFLOW_CODES = (-100, -102, -103, -104)
 
