@@ -1114,30 +1114,37 @@ inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
 // ONE table row — byte(l) = row[(csrc + (l-lo)) mod 128] lands exactly on
 // the source byte's in-row offset because the whole sub-span lies in that
 // row — so plain fires need a single one-hot row pull, not a pair.
-inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
+inline int ring_emit_lit_frag(RingTile& c, int64_t p, int64_t pe,
+                              int64_t csrc) {
     const RingShared& g = *c.g;
     if (g.litblk[c.t] < 0) {
         int32_t first = (int32_t)(csrc >> 7);
         g.litblk[c.t] = (first > 0 ? first - 1 : 0) / g.lit_w;
     }
-    int64_t wbase = ((int64_t)g.litblk[c.t] * g.lit_w) << 7;
+    const int64_t wbase = ((int64_t)g.litblk[c.t] * g.lit_w) << 7;
+    const int64_t wlim = ((int64_t)2 * g.lit_w) << 7;
     // depth 0 comes from the tile's pre-zero memset (ring_build_tile), so
-    // literal-sourced bytes need no per-span depth fill
-    int64_t k = 0;
-    while (k < len) {
-        int64_t s = csrc + k;
-        int64_t run = len - k;
-        int64_t room = 128 - (s & 127);
-        if (run > room) run = room;
+    // literal-sourced bytes need no per-span depth fill. One fused loop
+    // splits at output-row AND source-row boundaries.
+    int64_t s = csrc;
+    while (p < pe) {
+        int64_t run = pe - p;
+        int64_t room_p = 128 - (p & 127);
+        int64_t room_s = 128 - (s & 127);
+        if (run > room_p) run = room_p;
+        if (run > room_s) run = room_s;
         int64_t S = (s - wbase) & ~(int64_t)127;
-        if (S < 0 || S + 128 > ((int64_t)2 * g.lit_w) << 7)
-            return TLZ4_PLAN_OVF_LITSPAN;
-        int64_t pk = p0 + k;
-        int32_t ph = (int32_t)((s - (pk & 127)) & 127);
-        ring_push(c, pk, (int32_t)run, S, 128, ph, 0, 0);
-        k += run;
+        if (S < 0 || S + 128 > wlim) return TLZ4_PLAN_OVF_LITSPAN;
+        int32_t ph = (int32_t)((s - (p & 127)) & 127);
+        ring_push(c, p, (int32_t)run, S, 128, ph, 0, 0);
+        p += run;
+        s += run;
     }
     return 0;
+}
+
+inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
+    return ring_emit_lit_frag(c, p0, p0 + len, csrc);
 }
 
 // Match record: dst lanes [lo, lo+len) of p0's row read ring byte
@@ -1821,13 +1828,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
             int64_t csrc = q.lit_start + (p - q.out_off);
             if (!skip_origin && !skip_lito)
                 origin_iota(g.origin, p, pe, (int32_t)csrc, 1, c.te);
-            int64_t rem = pe - p;
-            while (rem > 0) {
-                int32_t span = (int32_t)(128 - (p & 127));
-                if (span > rem) span = (int32_t)rem;
-                if (int rc_ = ring_emit_lit(c, p, span, csrc)) return rc_;
-                p += span; csrc += span; rem -= span;
-            }
+            if (int rc_ = ring_emit_lit_frag(c, p, pe, csrc)) return rc_;
         }
         if (q.match_len <= 0) continue;
         // match fragment [m0, m0+ml)
