@@ -884,9 +884,12 @@ struct RingTile {
     int64_t ts, te, ring_base;  // ring_base = ts - WR*128
     int64_t deep_pieces = 0;    // pieces that entered the resolution branch
     int64_t nrec = 0;
-    int32_t maxd = 0;           // max match depth pushed so far
+    int64_t lit_n = 0;   // literals stream straight into final slots
+    int64_t tbase = 0;   // this tile's flat base in the field arrays
+    int32_t maxd = 0;    // max match depth pushed so far
+    int32_t row_mask;    // tile_rows - 1 when a power of two, else 0
     RecArena* arena;
-    // stream id 2*group + periodic, group = 0 literals / 1+d matches
+    // stream id 2*group + periodic, group = 1+d matches (literals bypass)
     std::vector<GroupStream>* gs;
 };
 
@@ -942,25 +945,20 @@ int ring_pack_tile(RingTile& c) {
     const size_t nstreams = c.gs->size();
 
     if (!hard_groups) {
-        // ---- group 0 (literals): hard boundary, bulk copies ----
+        // ---- group 0 (literals): hard boundary; records are already in
+        // their final slots (ring_push streams literals straight into the
+        // field arrays at flat offsets [0, lit_n)) — only pad stamping and
+        // the fire rounding happen here ----
         int64_t k = 0;
-        {
-            GroupStream& s0 = (*c.gs)[0];
-            if (s0.count) {
-                int64_t gend = ((s0.count + RB - 1) / RB) * RB;
-                if (gend > cap) return TLZ4_PLAN_OVF_SLOT;
-                for (RecChunk* ch = s0.head; ch; ch = ch->next) {
-                    std::memcpy(g.f0 + tbase + k, ch->v0, (size_t)ch->n * 4);
-                    std::memcpy(g.f1 + tbase + k, ch->v1, (size_t)ch->n * 4);
-                    std::memcpy(g.f2 + tbase + k, ch->v2, (size_t)ch->n * 4);
-                    k += ch->n;
-                }
-                stamp_i32(g.f0, tbase + k, tbase + gend, 0);
-                stamp_i32(g.f1, tbase + k, tbase + gend, 127 << 7);
-                stamp_i32(g.f2, tbase + k, tbase + gend, g.tile_rows << 7);
-                k = gend;
-                g.nf_lit[c.t] = (int32_t)(gend / RB);
-            }
+        if (c.lit_n) {
+            int64_t gend = ((c.lit_n + RB - 1) / RB) * RB;
+            if (gend > cap || c.lit_n > cap) return TLZ4_PLAN_OVF_SLOT;
+            k = c.lit_n;
+            stamp_i32(g.f0, tbase + k, tbase + gend, 0);
+            stamp_i32(g.f1, tbase + k, tbase + gend, 127 << 7);
+            stamp_i32(g.f2, tbase + k, tbase + gend, g.tile_rows << 7);
+            k = gend;
+            g.nf_lit[c.t] = (int32_t)(gend / RB);
         }
         // ---- match groups: soft boundaries ----
         // Two write-row sets per open fire: W collects every append; Wfz
@@ -1032,7 +1030,20 @@ int ring_pack_tile(RingTile& c) {
     }
 
     int64_t base = 0;
-    for (int32_t gi = 0; (size_t)2 * gi < nstreams; gi++) {
+    if (c.lit_n) {  // group 0: records already in their final slots
+        int64_t gend = ((c.lit_n + RB - 1) / RB) * RB;
+        if (gend > cap || c.lit_n > cap) return TLZ4_PLAN_OVF_SLOT;
+        stamp_i32(g.f0, tbase + c.lit_n, tbase + gend, 0);
+        stamp_i32(g.f1, tbase + c.lit_n, tbase + gend, 127 << 7);
+        stamp_i32(g.f2, tbase + c.lit_n, tbase + gend, g.tile_rows << 7);
+        g.nf_lit[c.t] = (int32_t)(gend / RB);
+        if (prof_on) {
+            prof_gfires[0].fetch_add(gend / RB, std::memory_order_relaxed);
+            prof_gslots[0].fetch_add(c.lit_n, std::memory_order_relaxed);
+        }
+        base = gend;
+    }
+    for (int32_t gi = 1; (size_t)2 * gi < nstreams; gi++) {
         GroupStream* sp = &(*c.gs)[2 * (size_t)gi];
         GroupStream* sq = (size_t)(2 * gi + 1) < nstreams
                               ? &(*c.gs)[2 * (size_t)gi + 1]
@@ -1071,7 +1082,6 @@ int ring_pack_tile(RingTile& c) {
         stamp_i32(g.f0, tbase + base + cnt, tbase + gend, 0);
         stamp_i32(g.f1, tbase + base + cnt, tbase + gend, 127 << 7);
         stamp_i32(g.f2, tbase + base + cnt, tbase + gend, g.tile_rows << 7);
-        if (gi == 0) g.nf_lit[c.t] = (int32_t)(gend / RB);
         if (prof_on) {
             int gx = gi < 17 ? gi : 17;
             prof_gfires[gx].fetch_add((gend - base) / RB,
@@ -1084,10 +1094,36 @@ int ring_pack_tile(RingTile& c) {
     return 0;
 }
 
+inline int32_t ring_row(const RingTile& c, int64_t p0) {
+    // tile_rows is 256 in production; the pow2 mask avoids a per-record
+    // integer division (tile_rows is a runtime value the compiler can't
+    // strength-reduce)
+    return c.row_mask ? (int32_t)((p0 >> 7) & c.row_mask)
+                      : (int32_t)((p0 >> 7) % c.g->tile_rows);
+}
+
 inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
                       int32_t P, int32_t ph, int32_t d, uint8_t cls) {
     if (skip_push) return;
-    size_t sid = cls ? 2 * (size_t)(d + 1) + (P != 128 ? 1 : 0) : 0;
+    int32_t v0 = (int32_t)S;
+    int32_t v1 = ph | ((P - 1) << 7) | ((int32_t)(p0 & 127) << 14);
+    int32_t v2 = (len - 1) | (ring_row(c, p0) << 7);
+    c.nrec++;
+    if (!cls) {
+        // Literals head the stream (group 0 base is flat offset 0), so
+        // they write their final slots directly — no chunk buffering, no
+        // pack copy for the biggest group. Overflow is tolerated while
+        // emitting (writes clamp) and reported by pack's fire rounding.
+        if (c.lit_n < (int64_t)c.g->rb * c.g->nfmax) {
+            const RingShared& g = *c.g;
+            g.f0[c.tbase + c.lit_n] = v0;
+            g.f1[c.tbase + c.lit_n] = v1;
+            g.f2[c.tbase + c.lit_n] = v2;
+        }
+        c.lit_n++;
+        return;
+    }
+    size_t sid = 2 * (size_t)(d + 1) + (P != 128 ? 1 : 0);
     if (sid >= c.gs->size()) c.gs->resize(sid + 2);
     GroupStream& s = (*c.gs)[sid];
     RecChunk* ch = s.tail;
@@ -1098,13 +1134,11 @@ inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
         s.tail = ch;
     }
     int32_t k = ch->n++;
-    ch->v0[k] = (int32_t)S;
-    ch->v1[k] = ph | ((P - 1) << 7) | ((int32_t)(p0 & 127) << 14);
-    ch->v2[k] = (len - 1) |
-                ((int32_t)((p0 >> 7) % c.g->tile_rows) << 7);
+    ch->v0[k] = v0;
+    ch->v1[k] = v1;
+    ch->v2[k] = v2;
     s.count++;
-    c.nrec++;
-    if (cls && d > c.maxd) c.maxd = d;
+    if (d > c.maxd) c.maxd = d;
 }
 
 // Literal record(s): lanes of p0's output row read comp bytes starting at
@@ -1783,6 +1817,8 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
     gs_tls.clear();
     c.arena = &arena_tls;
     c.gs = &gs_tls;
+    c.tbase = (int64_t)t * g.rb * g.nfmax;
+    c.row_mask = (g.tile_rows & (g.tile_rows - 1)) == 0 ? g.tile_rows - 1 : 0;
     c.ts = ((int64_t)t * g.tile_rows) << 7;
     c.te = c.ts + (((int64_t)g.tile_rows) << 7);
     // Pre-zero the tile's depth slice (32 KB, L2-resident) so the dominant
