@@ -184,35 +184,25 @@ def main() -> None:
     ntiles, nblk = arrs[0].shape[0], arrs[4].shape[0] // plan.lit_w
     nf = arrs[5].shape[1]
 
-    # On-device consumer inside the timed region: a weighted checksum over
-    # every decoded byte, so "decoded" is end-to-end verifiable — the timed
-    # quantity cannot stop at VMEM (the reference's analog: content-checksum
-    # verify inside read, src/frame/decompress.rs:323-329). The 4-byte
-    # checksum is what crosses to the host, and it must equal the value
+    # On-device consumer inside the timed region: the kernel itself folds a
+    # position-weighted checksum over every decoded byte into each grid
+    # step (the tile is VMEM-resident there — one VPU pass per 32 KiB tile),
+    # so "decoded" is end-to-end verifiable and the timed quantity cannot
+    # stop at VMEM (the reference's analog: content-checksum verify inside
+    # read, src/frame/decompress.rs:323-329). The 128-lane partial is what
+    # crosses to the host, and its mod-2^32 sum must equal the value
     # computed independently from the expected plaintext.
-    # 2-D form on purpose: flattening to 1-D and reducing 10.7M elements
-    # lowers to a ~10 ms sequential pass on XLA:TPU (the 1-D trap — see
-    # CLAUDE.md); the (rows, 128) row-major reduce is sub-ms.
-    @jax.jit
-    def consume(out):
-        r = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0)
-        l = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 1)
-        idx = r * jnp.uint32(out.shape[1]) + l
-        w = jnp.where(idx < jnp.uint32(n), (idx * jnp.uint32(131) + 7) & 0xFFFF, 0)
-        return jnp.sum(out.astype(jnp.uint32) * w, dtype=jnp.uint32)
+    from lz4_flex_tpu.ops.ringdecode import ring_checksum_expected
 
-    def expected_checksum() -> int:
-        flat = np.zeros(ntiles * plan.tile_rows * 128, np.uint32)
-        flat[:n] = np.frombuffer(data, np.uint8)
-        idx = np.arange(flat.shape[0], dtype=np.uint32)
-        w = np.where(idx < n, (idx * np.uint32(131) + 7) & 0xFFFF, 0)
-        return int((flat * w).sum(dtype=np.uint32))
-
-    f_ring = lambda: consume(
-        ring_decode_jit(*arrs, ntiles=ntiles, nblk=nblk, nf=nf)
+    ntot = jnp.asarray(np.array([n], np.int32))
+    lane_sum = lambda a: int(
+        np.asarray(a).astype(np.uint32).sum(dtype=np.uint64) & 0xFFFFFFFF
     )
-    chk_ok = int(f_ring()) == expected_checksum()
-    t_kern = device_time(f_ring, sync=lambda r: r)
+    f_ring = lambda: ring_decode_jit(
+        *arrs, ntiles=ntiles, nblk=nblk, nf=nf, ntot=ntot
+    )
+    chk_ok = lane_sum(f_ring()[1]) == ring_checksum_expected(data)
+    t_kern = device_time(f_ring, sync=lambda r: r[1])
     # 12 iters: the 4-core dev host carries transient external load and the
     # plan build swings 23-30 ms run to run; a wider median damps it.
     t_plan = median_time(lambda: build_ring_plan(comp_np, n), iters=12)

@@ -378,12 +378,20 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
 # updating the tile region in place.
 
 
-def _ring_kernel(nfl_ref, nft_ref, lb_ref, fp_ref, blk0_ref, blk1_ref,
-                 f0_ref, f1_ref, f2_ref, out_ref, tbl_ref,
-                 *, TR, WR, LW, RB_, NF, NFW, dt):
+def _ring_kernel(*refs, TR, WR, LW, RB_, NF, NFW, dt, checksum):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
+
+    if checksum:
+        # extra scalar-prefetch arg (ntot) and extra output (acc_ref)
+        (nfl_ref, nft_ref, lb_ref, fp_ref, ntot_ref,
+         blk0_ref, blk1_ref, f0_ref, f1_ref, f2_ref,
+         out_ref, acc_ref, tbl_ref) = refs
+    else:
+        (nfl_ref, nft_ref, lb_ref, fp_ref,
+         blk0_ref, blk1_ref, f0_ref, f1_ref, f2_ref,
+         out_ref, tbl_ref) = refs
 
     NT = WR + TR + 2 * LW
     b = pl.program_id(0)
@@ -486,11 +494,34 @@ def _ring_kernel(nfl_ref, nft_ref, lb_ref, fp_ref, blk0_ref, blk1_ref,
 
     jax.lax.fori_loop(0, nfl_ref[b], make_fire(WR + TR, NT), 0)
     jax.lax.fori_loop(nfl_ref[b], nft_ref[b], make_fire(0, WR + TR), 0)
-    out_ref[...] = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
+    tile = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
+    out_ref[...] = tile
+    if checksum:
+        # On-device consumer, folded into the decode itself: a position-
+        # weighted sum over every decoded byte, accumulated across the
+        # sequential grid into a (1, 128) lane-parallel partial. The tile is
+        # already VMEM-resident here, so this costs one VPU pass over 32 KiB
+        # per grid step (vs ~2.7 ms for a separate XLA pass re-reading the
+        # 4x-widened output from HBM). int32 wraparound == mod 2^32, matching
+        # the host-side expected value. Reference analog: content-checksum
+        # verify inside read (lz4_flex src/frame/decompress.rs:323-329).
+        r = jax.lax.broadcasted_iota(jnp.int32, (TR, 128), 0)
+        l = jax.lax.broadcasted_iota(jnp.int32, (TR, 128), 1)
+        idx = (b * TR + r) * 128 + l
+        w = jnp.where(idx < ntot_ref[0], (idx * 131 + 7) & 0xFFFF, 0)
+        part = jnp.sum(tile * w, axis=0, keepdims=True)
+
+        @pl.when(b == 0)
+        def _acc0():
+            acc_ref[...] = part
+
+        @pl.when(b > 0)
+        def _accn():
+            acc_ref[...] = acc_ref[...] + part
 
 
 def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
-                 LW=LIT_W, RB_=RB, interpret=False):
+                 LW=LIT_W, RB_=RB, interpret=False, checksum=False):
     """Build (and cache) the jitted pallas_call for a shape bucket."""
     import functools
 
@@ -503,26 +534,51 @@ def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
     nfw = (nf + 31) // 32
     dt = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
-        _ring_kernel, TR=TR, WR=WR, LW=LW, RB_=RB_, NF=nf, NFW=nfw, dt=dt
+        _ring_kernel, TR=TR, WR=WR, LW=LW, RB_=RB_, NF=nf, NFW=nfw, dt=dt,
+        checksum=checksum,
     )
+    nsp = 5 if checksum else 4  # + ntot when the in-kernel consumer is on
+
+    def blkmap(off):
+        return lambda b, *s: (s[2][b] + off, 0)
+
+    recmap = lambda b, *s: (b, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # nf_lit, nf_tot, litblk, fper
+        num_scalar_prefetch=nsp,  # nf_lit, nf_tot, litblk, fper[, ntot]
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb, fp: (lb[b], 0)),
-            pl.BlockSpec((LW, 128), lambda b, nfl, nft, lb, fp: (lb[b] + 1, 0)),
-            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb, fp: (b, 0, 0)),
-            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb, fp: (b, 0, 0)),
-            pl.BlockSpec((1, nf, RB_), lambda b, nfl, nft, lb, fp: (b, 0, 0)),
+            pl.BlockSpec((LW, 128), blkmap(0)),
+            pl.BlockSpec((LW, 128), blkmap(1)),
+            pl.BlockSpec((1, nf, RB_), recmap),
+            pl.BlockSpec((1, nf, RB_), recmap),
+            pl.BlockSpec((1, nf, RB_), recmap),
         ],
-        out_specs=pl.BlockSpec((TR, 128), lambda b, nfl, nft, lb, fp: (b, 0)),
+        out_specs=(
+            [
+                pl.BlockSpec((TR, 128), lambda b, *s: (b, 0)),
+                pl.BlockSpec((1, 128), lambda b, *s: (0, 0)),
+            ]
+            if checksum
+            else pl.BlockSpec((TR, 128), lambda b, *s: (b, 0))
+        ),
         scratch_shapes=[pltpu.VMEM((NT, 128), dt)],
     )
+    out_shape = jax.ShapeDtypeStruct((ntiles * TR, 128), jnp.int32)
+    if checksum:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((1, 128), jnp.int32)]
+        return jax.jit(
+            lambda nfl, nft, lb, fp, ntot, c, a0, a1, a2: pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(nfl, nft, lb, fp, ntot, c, c, a0, a1, a2)
+        )
     return jax.jit(
         lambda nfl, nft, lb, fp, c, a0, a1, a2: pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ntiles * TR, 128), jnp.int32),
+            out_shape=out_shape,
             interpret=interpret,
         )(nfl, nft, lb, fp, c, c, a0, a1, a2)
     )
@@ -650,11 +706,28 @@ def ring_plan_device_arrays(plan: RingPlan, comp):
 
 
 def ring_decode_jit(nfl, nft, lb, fp, crows, f0, f1, f2, *, ntiles, nblk, nf,
-                    interpret=False):
-    key = (ntiles, nblk, nf, f0.shape[2], bool(interpret))
+                    interpret=False, ntot=None):
+    """Run the ring kernel. With ``ntot`` (an int32 (1,) array holding the
+    decoded byte count) the kernel also returns a (1, 128) int32 lane-partial
+    position-weighted checksum over the decoded bytes (in-kernel consumer;
+    sum the lanes mod 2**32 and compare against
+    :func:`ring_checksum_expected`)."""
+    cs = ntot is not None
+    key = (ntiles, nblk, nf, f0.shape[2], bool(interpret), cs)
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
         fn = _kernel_call(ntiles, nblk, nf, RB_=f0.shape[2],
-                          interpret=interpret)
+                          interpret=interpret, checksum=cs)
         _KERNEL_CACHE[key] = fn
+    if cs:
+        return fn(nfl, nft, lb, fp, ntot, crows, f0, f1, f2)
     return fn(nfl, nft, lb, fp, crows, f0, f1, f2)
+
+
+def ring_checksum_expected(data: bytes) -> int:
+    """Host-side expected value of the kernel's in-kernel consumer checksum:
+    sum over i of data[i] * ((i*131+7) & 0xFFFF), mod 2**32."""
+    x = np.frombuffer(data, np.uint8).astype(np.uint64)
+    i = np.arange(x.shape[0], dtype=np.uint64)
+    w = (i * 131 + 7) & 0xFFFF
+    return int((x * w).sum() & 0xFFFFFFFF)

@@ -201,3 +201,37 @@ def test_kernel_interpret_rle_overlap():
     comp = block.compress(data)
     got = decode_block_ring(_u8(comp), len(data), interpret=True)
     assert got == data
+
+
+def test_kernel_interpret_inline_checksum(corpus_34k):
+    # The in-kernel consumer: the checksum output must equal the host-side
+    # expected value, the decoded bytes must be byte-exact, and the plain
+    # (no-checksum) kernel variant must keep working from the same plan.
+    import jax.numpy as jnp
+
+    from lz4_flex_tpu.ops.ringdecode import (
+        _bucket,
+        ring_checksum_expected,
+        ring_decode_jit,
+        ring_plan_device_arrays,
+    )
+
+    data = corpus_34k + corpus_34k[:32768]
+    comp = _u8(block.compress(data))
+    plan = build_ring_plan(comp, len(data))
+    assert plan is not None
+    arrs = [jnp.asarray(a) for a in ring_plan_device_arrays(plan, comp)]
+    kw = dict(ntiles=_bucket(plan.ntiles), nblk=arrs[4].shape[0] // plan.lit_w,
+              nf=arrs[5].shape[1], interpret=True)
+    ntot = jnp.asarray(np.array([len(data)], np.int32))
+    out, acc = ring_decode_jit(*arrs, ntot=ntot, **kw)
+    got = np.asarray(out, np.uint8).reshape(-1)[: len(data)].tobytes()
+    assert got == data
+    lanes = np.asarray(acc).astype(np.uint32)
+    assert lanes.shape == (1, 128)
+    chk = int(lanes.sum(dtype=np.uint64) & 0xFFFFFFFF)
+    assert chk == ring_checksum_expected(data)
+    # a corrupted plan record must change the checksum (consumer really
+    # depends on the decoded bytes)
+    out2 = ring_decode_jit(*arrs, **kw)
+    assert np.asarray(out2, np.uint8).reshape(-1)[: len(data)].tobytes() == data
