@@ -179,10 +179,10 @@ def main() -> None:
     plan = build_ring_plan(comp_np, n)
     if plan is None:
         raise SystemExit("ring plan overflow on the bench corpus")
-    arrs = ring_plan_device_arrays(plan, comp_np)
+    arrs = ring_plan_device_arrays(plan)
     arrs = [jnp.asarray(a) for a in arrs]
-    ntiles, nblk = arrs[0].shape[0], arrs[4].shape[0] // plan.lit_w
-    nf = arrs[5].shape[1]
+    ntiles = arrs[0].shape[0]
+    nf = arrs[3].shape[1]
 
     # On-device consumer inside the timed region: the kernel itself folds a
     # position-weighted checksum over every decoded byte into each grid
@@ -199,7 +199,7 @@ def main() -> None:
         np.asarray(a).astype(np.uint32).sum(dtype=np.uint64) & 0xFFFFFFFF
     )
     f_ring = lambda: ring_decode_jit(
-        *arrs, ntiles=ntiles, nblk=nblk, nf=nf, ntot=ntot
+        *arrs, ntiles=ntiles, nf=nf, ntot=ntot
     )
     chk_ok = lane_sum(f_ring()[1]) == ring_checksum_expected(data)
     t_kern = device_time(f_ring, sync=lambda r: r[1])
@@ -227,10 +227,9 @@ def main() -> None:
         mnp = np.frombuffer(mcomp, np.uint8)
         ok_m = decode_block_device(mcomp, len(mdata), parse="ring") == mdata
         mplan = build_ring_plan(mnp, len(mdata))
-        marrs = [jnp.asarray(a) for a in ring_plan_device_arrays(mplan, mnp)]
+        marrs = [jnp.asarray(a) for a in ring_plan_device_arrays(mplan)]
         f_m = lambda: ring_decode_jit(
-            *marrs, ntiles=marrs[0].shape[0],
-            nblk=marrs[4].shape[0] // mplan.lit_w, nf=marrs[5].shape[1],
+            *marrs, ntiles=marrs[0].shape[0], nf=marrs[3].shape[1],
         )
         t_mk = device_time(f_m, sync=lambda r: r[:1, :1])
         t_mp = median_time(lambda: build_ring_plan(mnp, len(mdata)), iters=6)
@@ -290,13 +289,12 @@ def main() -> None:
 
         parts = [(np.frombuffer(p, np.uint8), True) for p in payloads]
         ok_fr = decode_parts_ring(parts, independent=True) == data
-        planf, compf = build_ring_plan_parts(parts, n, independent=True)
+        planf, _ = build_ring_plan_parts(parts, n, independent=True)
         arrs_f = [
-            jnp.asarray(a) for a in ring_plan_device_arrays(planf, compf)
+            jnp.asarray(a) for a in ring_plan_device_arrays(planf)
         ]
         f_fr = lambda: ring_decode_jit(
-            *arrs_f, ntiles=arrs_f[0].shape[0],
-            nblk=arrs_f[4].shape[0] // planf.lit_w, nf=arrs_f[5].shape[1],
+            *arrs_f, ntiles=arrs_f[0].shape[0], nf=arrs_f[3].shape[1],
         )
         t_frk = device_time(f_fr, sync=lambda r: r[:1, :1])
         t_frp = median_time(

@@ -33,14 +33,14 @@ def main():
         comp_np = np.frombuffer(comp, np.uint8)
         ok = decode_block_ring(comp_np, n) == d
         plan = build_ring_plan(comp_np, n)
-        arrs = [jnp.asarray(a) for a in ring_plan_device_arrays(plan, comp_np)]
-        nt, nblk = arrs[0].shape[0], arrs[4].shape[0] // plan.lit_w
-        nf = arrs[5].shape[1]
+        arrs = [jnp.asarray(a) for a in ring_plan_device_arrays(plan)]
+        nt = arrs[0].shape[0]
+        nf = arrs[3].shape[1]
         fires = int(plan.nf_tot.sum())
         pfires = int(
             sum(bin(int(w) & 0xFFFFFFFF).count("1") for w in plan.fper.reshape(-1))
         )
-        f = lambda: ring_decode_jit(*arrs, ntiles=nt, nblk=nblk, nf=nf)
+        f = lambda: ring_decode_jit(*arrs, ntiles=nt, nf=nf)
         t_k = B.device_time(f, sync=lambda r: r[:1, :1])
         t_p = B.median_time(lambda: build_ring_plan(comp_np, n), iters=6)
         t_s = max(t_k, t_p)

@@ -861,16 +861,21 @@ struct RingSeq {
 };
 
 struct RingShared {
-    int32_t tile_rows, window_rows, lit_w, ntiles;
+    int32_t tile_rows, window_rows, ntiles;
     int32_t rb, nfmax;   // records per fire, max fires per tile
     int32_t resolve_min_depth, resolve_runs;
     int64_t expected_out;
+    const uint8_t* input;  // concatenated compressed stream (literal source)
     int32_t* f0; int32_t* f1; int32_t* f2;  // (ntiles, nfmax, rb) records
-    int32_t* nf_lit; int32_t* nf_tot;       // per-tile fire counts
+    int32_t* nf_tot;  // per-tile fire counts (match fires only)
     int32_t* fper;    // (ntiles, (nfmax+31)/32) bitmask: fire has a P<128
                       // (periodic) record -> the kernel's slow (lane+ph)%P
                       // path; unset fires take the &127 fast path
-    int32_t* litblk;
+    uint8_t* lit_init;  // (ntiles*tile_rows*128) literal image: every
+                        // literal byte (and every match byte the resolver
+                        // telescopes to a comp position) is memcpy'd here
+                        // host-side; the kernel seeds each tile from it and
+                        // only match fires run on device
     uint8_t* depth;   // (expected_out) per-byte fire depth
     int32_t* origin;  // (expected_out) tile-local origin:
                       //   >= 0: comp position (literal byte)
@@ -884,7 +889,6 @@ struct RingTile {
     int64_t ts, te, ring_base;  // ring_base = ts - WR*128
     int64_t deep_pieces = 0;    // pieces that entered the resolution branch
     int64_t nrec = 0;
-    int64_t lit_n = 0;   // literals stream straight into final slots
     int64_t tbase = 0;   // this tile's flat base in the field arrays
     int32_t maxd = 0;    // max match depth pushed so far
     int32_t row_mask;    // tile_rows - 1 when a power of two, else 0
@@ -902,38 +906,35 @@ static inline void stamp_i32(int32_t* o, int64_t p, int64_t pe, int32_t v) {
     for (; p < pe; p++) o[p] = v;
 }
 
-// Compact batched-fire packing for one finished tile: streams laid out
-// [all literals][matches by depth asc]. Record k of the stream lands at
-// field arrays [t, k / RB, k % RB]: fire j = k / RB consumes contiguous
-// row j. Group order: group 0 = literals, group 1+d = matches of depth d.
-// Periodic records (P < 128 — wrapped self-overlap matches) sit in each
-// group's tail partition so mostly the fires overlapping that tail pay
-// the kernel's (lane+ph)%P vector-division path; plain fires take &127
-// (measured 1.27 us/fire cheaper — experiments/fire_ablate3.py). Order
-// within a depth group is free: each output lane has exactly one writer
-// per tile.
+// Compact batched-fire packing for one finished tile: the record stream is
+// matches by depth asc (literals never reach the kernel — they live in the
+// lit_init image). Record k of the stream lands at field arrays
+// [t, k / RB, k % RB]: fire j = k / RB consumes contiguous row j. Group
+// 1+d = matches of depth d. Periodic records (P < 128 — wrapped
+// self-overlap matches) sit in each group's tail partition so mostly the
+// fires overlapping that tail pay the kernel's (lane+ph)%P vector-division
+// path; plain fires take &127 (measured 1.27 us/fire cheaper —
+// experiments/fire_ablate3.py). Order within a depth group is free: each
+// output lane has exactly one writer per tile.
 //
-// The literal group keeps a HARD fire boundary (the kernel's subtable
-// select — lit window vs ring — is per fire, j < nf_lit). Match groups
-// use SOFT boundaries: records append consecutively across depth groups,
-// and a fire only pads early when the candidate record's read rows alias
-// a tile row already written by records in the open fire. Safety: a fire
-// reads the table once before its writes, so the only intra-fire hazard
-// is a record sourcing bytes written by the same fire. Byte depths are
-// unique per byte, so a group-d record's sources (depth < d) can never be
-// bytes written by same-or-lower groups in the fire (depth >= d... the
-// aliasing candidate set is exactly the records already appended, whose
-// write depths are <= d, and only writes at depth == the source byte's
-// depth could collide) — the row-granular check against the open fire's
-// write-row set is a conservative superset of that hazard. This recovers
-// most of the ~25% fire padding that hard per-group rounding cost
-// (measured 7497 -> ~6030 fires on the 10 MB text corpus).
+// Groups use SOFT fire boundaries: records append consecutively across
+// depth groups, and a fire only pads early when the candidate record's
+// read rows alias a tile row already written by records in the open fire.
+// Safety: a fire reads the table once before its writes, so the only
+// intra-fire hazard is a record sourcing bytes written by the same fire.
+// Byte depths are unique per byte, so a group-d record's sources
+// (depth < d) can never be bytes written by same-or-lower groups in the
+// fire (depth >= d... the aliasing candidate set is exactly the records
+// already appended, whose write depths are <= d, and only writes at depth
+// == the source byte's depth could collide) — the row-granular check
+// against the open fire's write-row set is a conservative superset of that
+// hazard. This recovers most of the ~25% fire padding that hard per-group
+// rounding cost (measured 7497 -> ~6030 fires on the 10 MB text corpus).
 // TLZ4_HARD_GROUPS=1 restores hard boundaries for A/B.
 int ring_pack_tile(RingTile& c) {
     const RingShared& g = *c.g;
     const int64_t RB = g.rb;
     const int64_t cap = RB * g.nfmax;
-    g.nf_lit[c.t] = 0;
     if (c.nrec == 0) {
         // fires beyond nf_tot never execute, so the record slots can stay
         // uninitialized (np.empty garbage is never read by the kernel)
@@ -945,22 +946,8 @@ int ring_pack_tile(RingTile& c) {
     const size_t nstreams = c.gs->size();
 
     if (!hard_groups) {
-        // ---- group 0 (literals): hard boundary; records are already in
-        // their final slots (ring_push streams literals straight into the
-        // field arrays at flat offsets [0, lit_n)) — only pad stamping and
-        // the fire rounding happen here ----
-        int64_t k = 0;
-        if (c.lit_n) {
-            int64_t gend = ((c.lit_n + RB - 1) / RB) * RB;
-            if (gend > cap || c.lit_n > cap) return TLZ4_PLAN_OVF_SLOT;
-            k = c.lit_n;
-            stamp_i32(g.f0, tbase + k, tbase + gend, 0);
-            stamp_i32(g.f1, tbase + k, tbase + gend, 127 << 7);
-            stamp_i32(g.f2, tbase + k, tbase + gend, g.tile_rows << 7);
-            k = gend;
-            g.nf_lit[c.t] = (int32_t)(gend / RB);
-        }
         // ---- match groups: soft boundaries ----
+        int64_t k = 0;
         // Two write-row sets per open fire: W collects every append; Wfz
         // (frozen) holds only writes from groups STRICTLY BELOW the current
         // one — candidates are checked against Wfz alone, because a group-d
@@ -971,6 +958,11 @@ int ring_pack_tile(RingTile& c) {
         uint64_t W[8] = {0, 0, 0, 0, 0, 0, 0, 0};
         uint64_t Wfz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
         bool fire_per = false;
+        // Per-tile local profiling counters: a per-RECORD atomic fetch_add
+        // here measured 2x the whole plan-build wall (1.5 M contended
+        // atomics across 8 threads) — profiling must not distort what it
+        // measures. Flushed once per tile below.
+        int64_t lslots[18] = {0};
         auto close_fire = [&](int64_t upto) {  // pad [k, upto), flag, reset
             if (upto > k) {
                 stamp_i32(g.f0, tbase + k, tbase + upto, 0);
@@ -1016,9 +1008,7 @@ int ring_pack_tile(RingTile& c) {
                         fire_per |= per;
                         k++;
                         if (!(k % RB)) close_fire(k);
-                        if (prof_on)
-                            prof_gslots[gi < 17 ? gi : 17].fetch_add(
-                                1, std::memory_order_relaxed);
+                        lslots[gi < 17 ? gi : 17]++;
                     }
                 }
             }
@@ -1026,23 +1016,16 @@ int ring_pack_tile(RingTile& c) {
         if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
         if (k > cap) return TLZ4_PLAN_OVF_SLOT;
         g.nf_tot[c.t] = (int32_t)(k / RB);
+        if (prof_on) {
+            for (int i = 0; i < 18; i++)
+                if (lslots[i])
+                    prof_gslots[i].fetch_add(lslots[i],
+                                             std::memory_order_relaxed);
+        }
         return 0;
     }
 
     int64_t base = 0;
-    if (c.lit_n) {  // group 0: records already in their final slots
-        int64_t gend = ((c.lit_n + RB - 1) / RB) * RB;
-        if (gend > cap || c.lit_n > cap) return TLZ4_PLAN_OVF_SLOT;
-        stamp_i32(g.f0, tbase + c.lit_n, tbase + gend, 0);
-        stamp_i32(g.f1, tbase + c.lit_n, tbase + gend, 127 << 7);
-        stamp_i32(g.f2, tbase + c.lit_n, tbase + gend, g.tile_rows << 7);
-        g.nf_lit[c.t] = (int32_t)(gend / RB);
-        if (prof_on) {
-            prof_gfires[0].fetch_add(gend / RB, std::memory_order_relaxed);
-            prof_gslots[0].fetch_add(c.lit_n, std::memory_order_relaxed);
-        }
-        base = gend;
-    }
     for (int32_t gi = 1; (size_t)2 * gi < nstreams; gi++) {
         GroupStream* sp = &(*c.gs)[2 * (size_t)gi];
         GroupStream* sq = (size_t)(2 * gi + 1) < nstreams
@@ -1103,26 +1086,12 @@ inline int32_t ring_row(const RingTile& c, int64_t p0) {
 }
 
 inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
-                      int32_t P, int32_t ph, int32_t d, uint8_t cls) {
+                      int32_t P, int32_t ph, int32_t d) {
     if (skip_push) return;
     int32_t v0 = (int32_t)S;
     int32_t v1 = ph | ((P - 1) << 7) | ((int32_t)(p0 & 127) << 14);
     int32_t v2 = (len - 1) | (ring_row(c, p0) << 7);
     c.nrec++;
-    if (!cls) {
-        // Literals head the stream (group 0 base is flat offset 0), so
-        // they write their final slots directly — no chunk buffering, no
-        // pack copy for the biggest group. Overflow is tolerated while
-        // emitting (writes clamp) and reported by pack's fire rounding.
-        if (c.lit_n < (int64_t)c.g->rb * c.g->nfmax) {
-            const RingShared& g = *c.g;
-            g.f0[c.tbase + c.lit_n] = v0;
-            g.f1[c.tbase + c.lit_n] = v1;
-            g.f2[c.tbase + c.lit_n] = v2;
-        }
-        c.lit_n++;
-        return;
-    }
     size_t sid = 2 * (size_t)(d + 1) + (P != 128 ? 1 : 0);
     if (sid >= c.gs->size()) c.gs->resize(sid + 2);
     GroupStream& s = (*c.gs)[sid];
@@ -1141,44 +1110,22 @@ inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
     if (d > c.maxd) c.maxd = d;
 }
 
-// Literal record(s): lanes of p0's output row read comp bytes starting at
-// csrc, through the tile's literal window. The span SPLITS at source-row
-// boundaries and each record's S is its source ROW BASE (lit-window-local,
-// row-aligned): with S&127 == 0 the kernel's read (l+ph) & 127 stays inside
-// ONE table row — byte(l) = row[(csrc + (l-lo)) mod 128] lands exactly on
-// the source byte's in-row offset because the whole sub-span lies in that
-// row — so plain fires need a single one-hot row pull, not a pair.
+// Literal bytes never become records: they are memcpy'd into the tile's
+// slice of the lit_init image (output-position addressed), which the kernel
+// loads as the tile's initial state before any match fire runs. Depth 0
+// comes from the tile's pre-zero memset (ring_build_tile), so no depth
+// bookkeeping either. This removes the literal fire group from the kernel
+// (~40% of fires on the 10 MB text corpus) and the literal-window overflow
+// class from the plan (any comp position is reachable by memcpy).
 inline int ring_emit_lit_frag(RingTile& c, int64_t p, int64_t pe,
                               int64_t csrc) {
-    const RingShared& g = *c.g;
-    if (g.litblk[c.t] < 0) {
-        int32_t first = (int32_t)(csrc >> 7);
-        g.litblk[c.t] = (first > 0 ? first - 1 : 0) / g.lit_w;
-    }
-    const int64_t wbase = ((int64_t)g.litblk[c.t] * g.lit_w) << 7;
-    const int64_t wlim = ((int64_t)2 * g.lit_w) << 7;
-    // depth 0 comes from the tile's pre-zero memset (ring_build_tile), so
-    // literal-sourced bytes need no per-span depth fill. One fused loop
-    // splits at output-row AND source-row boundaries.
-    int64_t s = csrc;
-    while (p < pe) {
-        int64_t run = pe - p;
-        int64_t room_p = 128 - (p & 127);
-        int64_t room_s = 128 - (s & 127);
-        if (run > room_p) run = room_p;
-        if (run > room_s) run = room_s;
-        int64_t S = (s - wbase) & ~(int64_t)127;
-        if (S < 0 || S + 128 > wlim) return TLZ4_PLAN_OVF_LITSPAN;
-        int32_t ph = (int32_t)((s - (p & 127)) & 127);
-        ring_push(c, p, (int32_t)run, S, 128, ph, 0, 0);
-        p += run;
-        s += run;
-    }
+    std::memcpy(c.g->lit_init + p, c.g->input + csrc, (size_t)(pe - p));
     return 0;
 }
 
 inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
-    return ring_emit_lit_frag(c, p0, p0 + len, csrc);
+    std::memcpy(c.g->lit_init + p0, c.g->input + csrc, (size_t)len);
+    return 0;
 }
 
 // Match record: dst lanes [lo, lo+len) of p0's row read ring byte
@@ -1202,7 +1149,7 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
     // d == 0 is already the pre-zeroed value; only nonzero depths write
     if (d && !skip_set) depth_fill(g.depth, p0, len, (uint8_t)d, c.te);
-    ring_push(c, p0, len, S_local, P, ph, d, 1);
+    ring_push(c, p0, len, S_local, P, ph, d);
     return 0;
 }
 
@@ -1277,10 +1224,6 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
         bool usable = nruns <= RT;
         if (usable) {
             int32_t w = 0;
-            const int64_t wbase =
-                g.litblk[c.t] >= 0
-                    ? ((int64_t)g.litblk[c.t] * g.lit_w) << 7
-                    : -1;  // window unset: the first lit record will set it
             for (int32_t k = 0; k < span; k++) {
                 int32_t o = ov[k];
                 bool brk =
@@ -1289,8 +1232,8 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
                     starts[w++] = k;
                     if (o < 0 && (int64_t)(-(int64_t)o - 1) < c.ring_base)
                         usable = false;  // telescoped origin left the ring
-                    if (o >= 0 && (int64_t)o < wbase)
-                        usable = false;  // comp origin precedes the window
+                    // comp origins are always usable: the resolver memcpys
+                    // them from the input buffer (no literal window)
                 }
             }
         }
@@ -1828,8 +1771,15 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         int64_t ze = c.te < g.expected_out ? c.te : g.expected_out;
         if (ze > c.ts) std::memset(g.depth + c.ts, 0, (size_t)(ze - c.ts));
     }
+    // Match-covered lit_init bytes are zeroed span-by-span in the seq loop
+    // below (cheaper than a whole-tile pre-memset: literal bytes get
+    // written exactly once); only the beyond-output tail needs zeroing
+    // here so plans stay byte-deterministic across pool generations.
+    if (c.te > g.expected_out) {
+        int64_t z0 = g.expected_out > c.ts ? g.expected_out : c.ts;
+        std::memset(g.lit_init + z0, 0, (size_t)(c.te - z0));
+    }
     c.ring_base = c.ts - (((int64_t)g.window_rows) << 7);
-    g.litblk[t] = -1;
 
     // Wait for the parser to pass this tile's end before reading seqs.
     size_t n_pub = nseq;
@@ -1873,6 +1823,10 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         int64_t mp = m0 < c.ts ? c.ts : m0;
         int64_t me = m0 + q.match_len < c.te ? m0 + q.match_len : c.te;
         if (mp >= me) continue;
+        // Zero the match span in the literal image (kernel fires overwrite
+        // it; zeros keep plans byte-deterministic). Resolved comp-origin
+        // runs memcpy over these zeros afterwards (ring_emit_piece).
+        std::memset(g.lit_init + mp, 0, (size_t)(me - mp));
         // Tile-local origin chase: byte pk copies from sk = pk - off;
         // in-tile sources inherit the source byte's origin (host-side
         // partial chain resolution), pre-tile sources become ring origins
@@ -1917,8 +1871,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
             pp += span; rem -= span;
         }
     }
-    if (g.litblk[t] < 0) g.litblk[t] = 0;
-    if (skip_pack) { g.nf_lit[t] = 0; g.nf_tot[t] = 0; return 0; }
+    if (skip_pack) { g.nf_tot[t] = 0; return 0; }
     if (prof_on) {
         auto tp = std::chrono::steady_clock::now();
         prof_emit_ns.fetch_add(
@@ -1948,11 +1901,10 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
     int32_t nblocks, int32_t independent, int64_t expected_out,
     int32_t tile_rows, int32_t window_rows, int32_t rb, int32_t nfmax,
-    int32_t lit_w,
     int32_t ntiles, int32_t resolve_min_depth, int32_t resolve_runs,
     int32_t nthreads,
     int32_t* f0, int32_t* f1, int32_t* f2,
-    int32_t* nf_lit, int32_t* nf_tot, int32_t* fper, int32_t* litblk,
+    int32_t* nf_tot, int32_t* fper, uint8_t* lit_init,
     uint8_t* depth, int32_t* origin, int64_t* total_out)
 {
     const bool prof = std::getenv("TLZ4_PLAN_PROF") != nullptr;
@@ -1990,9 +1942,9 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     // segfault). Workers must go through this caller-thread reference.
     static thread_local std::vector<RingSeq> seqs_tls;
 
-    RingShared g{tile_rows, window_rows, lit_w, ntiles, rb, nfmax,
-                 resolve_min_depth, resolve_runs, expected_out,
-                 f0, f1, f2, nf_lit, nf_tot, fper, litblk, depth, origin};
+    RingShared g{tile_rows, window_rows, ntiles, rb, nfmax,
+                 resolve_min_depth, resolve_runs, expected_out, input,
+                 f0, f1, f2, nf_tot, fper, lit_init, depth, origin};
     RingWatermark wm;
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};

@@ -3,33 +3,34 @@
 The native runtime (`tlz4_build_ring_plan2`, lz4_flex_tpu/native/lz4_native.cpp)
 walks the block once — the same walk as the reference's token loop
 (/root/reference/src/block/decompress.rs:201-444) — and emits a data-parallel
-pull schedule instead of performing the copies: compact per-tile record
-streams that the TPU kernel fires RB records at a time as one-hot MXU row
-pulls over a single VMEM-resident table.
+pull schedule instead of performing the copies: a per-tile LITERAL IMAGE
+(every literal byte memcpy'd to its output position host-side) plus compact
+per-tile MATCH record streams that the TPU kernel fires RB records at a
+time as one-hot MXU row pulls over a single VMEM-resident table.
 
 Table layout per tile t (rows of 128 bytes):
 
-  [0, WR)             ring: output rows [t*TR - WR, t*TR)   (WR = 64 KiB)
-  [WR, WR+TR)         the tile being decoded (updated in place)
-  [WR+TR, WR+TR+2*LW) literal window: comp rows [litblk[t]*LW, +2*LW)
+  [0, WR)      ring: output rows [t*TR - WR, t*TR)   (WR = 64 KiB)
+  [WR, WR+TR)  the tile being decoded — seeded from the literal image,
+               match fires update it in place
 
 Record stream semantics (record k -> field arrays [t, k // RB, k % RB], so
 fire j = k // RB consumes the contiguous record row j):
 
-  out lane l (lo <= l < lo+len) of row `row` = sub[S + (l+ph) mod P]
+  out lane l (lo <= l < lo+len) of row `row` = tbl[S + (l+ph) mod P]
 
-  f0 = S                     class-local byte address (<= 18 bits)
+  f0 = S                     table-local byte address (<= 17 bits)
   f1 = ph | (P-1)<<7 | lo<<14
   f2 = (len-1) | row<<7      row == TR is the padding sentinel (no scatter)
 
-The stream is [all literal records][match records by depth asc], each group
-padded to a whole RB fire: literal fires pull from the lit-window subtable
-(2*LW rows), match fires from the ring+tile subtable (WR+TR rows) — smaller
-pull tables than one global table, and a fire's pulls all read the table
-before its writes, so depth groups never split across a fire. Every
-record's sources are written by earlier fires (or lie outside the tile);
-typical depths collapse to 0-2 thanks to the builder's host-side partial
-chain resolution.
+The stream is match records by depth asc with soft fire boundaries: a fire's
+pulls all read the table before its writes, and the packer starts a new fire
+early only when a record would read a row an earlier-depth record in the
+open fire wrote. Every record's sources are literal-image bytes, earlier
+fires' writes, or ring bytes outside the tile; typical depths collapse to
+0-2 thanks to the builder's host-side partial chain resolution (deep chains
+telescope straight into the literal image — comp origins are always
+reachable by memcpy, so there is no literal-window overflow class).
 """
 
 from __future__ import annotations
@@ -43,7 +44,6 @@ from ..block import errors as block_errors
 
 TILE_ROWS = 256  # 32 KiB output tile
 WINDOW_ROWS = 512  # 64 KiB LZ4 window
-LIT_W = 272  # literal window block; two blocks span 69.6 KiB of comp
 RB = 256  # records per fire. Measured RB=512 SLOWER (31.4 vs 27.0 ms kernel
 #           on the 10 MB corpus): depth-group padding waste and the larger
 #           one-hot scatter outgrow the per-fire fixed cost.
@@ -83,17 +83,17 @@ class RingPlan:
     rec_f0: np.ndarray  # (ntiles, NF, RB) int32: S
     rec_f1: np.ndarray  # (ntiles, NF, RB) int32: ph | (P-1)<<7 | lo<<14
     rec_f2: np.ndarray  # (ntiles, NF, RB) int32: (len-1) | row<<7
-    nf_lit: np.ndarray  # (ntiles,) int32, literal fires per tile
-    nf_tot: np.ndarray  # (ntiles,) int32, total fires per tile
+    nf_tot: np.ndarray  # (ntiles,) int32, match fires per tile
     fper: np.ndarray  # (ntiles, ceil(NF/32)) int32 bitmask: fire holds a
     #                   periodic (P<128) record -> kernel takes the %P path
-    litblk: np.ndarray  # (ntiles,) int32, literal window block index
+    lit_init: np.ndarray  # (ntiles*TR, 128) uint8 literal image: the
+    #                       kernel's initial tile state (literal bytes at
+    #                       their output positions, 0 elsewhere)
     total_out: int
     ntiles: int
 
     tile_rows: int = TILE_ROWS
     window_rows: int = WINDOW_ROWS
-    lit_w: int = LIT_W
     rb: int = RB
 
     # Pool-lifetime stamp: the record arrays come from a 2-generation
@@ -129,8 +129,7 @@ def _native_lib():
             i64p, i64p, u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32,
-            i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p, i32p, u8p,
             u8p, i32p, i64p,
         ]
         lib.tlz4_build_ring_plan2._tlz4_configured = True
@@ -156,8 +155,9 @@ def _chase_scratch(n: int):
     return cur
 
 
-def _record_arrays(ntiles: int, nfmax: int, rb: int):
-    """Per-thread rotating pool for the plan's (ntiles, NF, RB) record arrays.
+def _record_arrays(ntiles: int, nfmax: int, rb: int, tile_rows: int):
+    """Per-thread rotating pool for the plan's (ntiles, NF, RB) record arrays
+    and its (ntiles*tile_rows, 128) literal image.
 
     Fresh ``np.empty`` of ~50 MB per build costs a page-fault storm per
     call; reuse avoids it. Two generations rotate so the arrays of the
@@ -180,8 +180,11 @@ def _record_arrays(ntiles: int, nfmax: int, rb: int):
     _scratch.plan_seq[0] += 1
     cur = gens[_scratch.plan_idx]
     shape = (ntiles, nfmax, rb)
-    if cur is None or cur[0].shape != shape:
-        cur = tuple(np.empty(shape, np.int32) for _ in range(3))
+    ishape = (ntiles * tile_rows, 128)
+    if cur is None or cur[0].shape != shape or cur[3].shape != ishape:
+        cur = tuple(np.empty(shape, np.int32) for _ in range(3)) + (
+            np.empty(ishape, np.uint8),
+        )
         gens[_scratch.plan_idx] = cur
     return cur, _scratch.plan_seq, _scratch.plan_seq[0]
 
@@ -196,7 +199,6 @@ def build_ring_plan_parts(
     window_rows: int = WINDOW_ROWS,
     rb: int = RB,
     nfmax: int | None = None,
-    lit_w: int = LIT_W,
     resolve_min_depth: int = RESOLVE_MIN_DEPTH,
     resolve_runs: int = RESOLVE_RUNS,
 ):
@@ -236,11 +238,11 @@ def build_ring_plan_parts(
     # Pooled, uninitialized record arrays: the builder stamps every slot the
     # kernel can read (fires < nf_tot), and zeroing ~50 MB per call costs
     # more than the build itself.
-    (f0, f1, f2), seq_holder, seq = _record_arrays(ntiles, nfmax, rb)
-    nf_lit = np.zeros(ntiles, np.int32)
+    (f0, f1, f2, lit_init), seq_holder, seq = _record_arrays(
+        ntiles, nfmax, rb, tile_rows
+    )
     nf_tot = np.zeros(ntiles, np.int32)
     fper = np.zeros((ntiles, (nfmax + 31) // 32), np.int32)
-    litblk = np.zeros(ntiles, np.int32)
     depth, origin = _chase_scratch(total_out)
     tot = np.zeros(1, np.int64)
 
@@ -253,12 +255,12 @@ def build_ring_plan_parts(
         blk_off.ctypes.data_as(i64p), blk_len.ctypes.data_as(i64p),
         blk_store.ctypes.data_as(u8p), len(parts),
         1 if independent else 0, total_out,
-        tile_rows, window_rows, rb, nfmax, lit_w,
+        tile_rows, window_rows, rb, nfmax,
         ntiles, resolve_min_depth, resolve_runs, nthreads,
         f0.ctypes.data_as(i32p), f1.ctypes.data_as(i32p),
         f2.ctypes.data_as(i32p),
-        nf_lit.ctypes.data_as(i32p), nf_tot.ctypes.data_as(i32p),
-        fper.ctypes.data_as(i32p), litblk.ctypes.data_as(i32p),
+        nf_tot.ctypes.data_as(i32p), fper.ctypes.data_as(i32p),
+        lit_init.ctypes.data_as(u8p),
         depth.ctypes.data_as(u8p), origin.ctypes.data_as(i32p),
         tot.ctypes.data_as(i64p),
     )
@@ -269,7 +271,7 @@ def build_ring_plan_parts(
         return build_ring_plan_parts(
             parts, total_out, independent=independent, nthreads=nthreads,
             tile_rows=tile_rows, window_rows=window_rows, rb=rb,
-            nfmax=nxt, lit_w=lit_w,
+            nfmax=nxt,
             resolve_min_depth=resolve_min_depth, resolve_runs=resolve_runs,
         )
     if rc in PLAN_OVERFLOW_CODES:
@@ -281,8 +283,8 @@ def build_ring_plan_parts(
     if int(tot[0]) != total_out:
         raise block_errors.OutputTooSmall(int(tot[0]), total_out)
     plan = RingPlan(
-        f0, f1, f2, nf_lit, nf_tot, fper, litblk, total_out, ntiles,
-        tile_rows, window_rows, lit_w, rb, seq, seq_holder,
+        f0, f1, f2, nf_tot, fper, lit_init, total_out, ntiles,
+        tile_rows, window_rows, rb, seq, seq_holder,
     )
     used = int(nf_tot.max()) if ntiles else 1
     _nfmax_hint[0] = next(
@@ -297,25 +299,13 @@ def build_ring_plan(comp, total_out: int, **kw) -> RingPlan | None:
     return plan
 
 
-def _comp_rows(plan: RingPlan, comp) -> np.ndarray:
-    """Pad the compressed stream to whole literal-window blocks (plus the
-    one-block lookahead the kernel's second window block needs)."""
-    from .decode import _as_u8
-
-    buf = _as_u8(comp)
-    nrows = -(-buf.shape[0] // 128)
-    nblk = max(-(-nrows // plan.lit_w), int(plan.litblk.max()) + 2)
-    rows = np.zeros((nblk * plan.lit_w + plan.lit_w, 128), np.uint8)
-    rows.reshape(-1)[: buf.shape[0]] = buf
-    return rows
-
-
-def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
+def simulate_ring_plan(plan: RingPlan, comp=None) -> bytes:
     """Numpy reference of the ring-decoder kernel: the executable spec the
-    Pallas kernel is tested against."""
-    TR, WR, LW = plan.tile_rows, plan.window_rows, plan.lit_w
-    NT = WR + TR + 2 * LW
-    comp_rows = _comp_rows(plan, comp).astype(np.int32)
+    Pallas kernel is tested against. (``comp`` is accepted for call-site
+    compatibility but unused — the literal image already carries every
+    compressed-stream byte the kernel reads.)"""
+    TR, WR = plan.tile_rows, plan.window_rows
+    NT = WR + TR
     out = np.zeros((plan.ntiles * TR, 128), np.int32)
     lane = np.arange(128, dtype=np.int32)[None, :]
     nf = plan.rec_f0.shape[1]
@@ -327,7 +317,9 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
             tbl[-lo_row:WR] = out[: t * TR]
         else:
             tbl[:WR] = out[lo_row : t * TR]
-        tbl[WR + TR :] = comp_rows[plan.litblk[t] * LW :][: 2 * LW]
+        tbl[WR : WR + TR] = plan.lit_init[t * TR : (t + 1) * TR].astype(
+            np.int32
+        )
         for j in range(int(plan.nf_tot[t])):
             assert j < nf
             f0 = plan.rec_f0[t, j, :]
@@ -339,10 +331,7 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
             lo = (f1 >> 14) & 127
             ln = (f2 & 127) + 1
             row = (f2 >> 7) & 511
-            if j < plan.nf_lit[t]:
-                sub = tbl[WR + TR :].reshape(-1)
-            else:
-                sub = tbl[: WR + TR].reshape(-1)
+            sub = tbl.reshape(-1)
             idx = S[:, None] + (lane + ph[:, None]) % P[:, None]
             y = sub[np.clip(idx, 0, sub.shape[0] - 1)]
             mask = (
@@ -378,34 +367,34 @@ def simulate_ring_plan(plan: RingPlan, comp) -> bytes:
 # updating the tile region in place.
 
 
-def _ring_kernel(*refs, TR, WR, LW, RB_, NF, NFW, dt, checksum):
+def _ring_kernel(*refs, TR, WR, RB_, NF, NFW, dt, checksum):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     if checksum:
         # extra scalar-prefetch arg (ntot) and extra output (acc_ref)
-        (nfl_ref, nft_ref, lb_ref, fp_ref, ntot_ref,
-         blk0_ref, blk1_ref, f0_ref, f1_ref, f2_ref,
+        (nft_ref, fp_ref, ntot_ref,
+         init_ref, f0_ref, f1_ref, f2_ref,
          out_ref, acc_ref, tbl_ref) = refs
     else:
-        (nfl_ref, nft_ref, lb_ref, fp_ref,
-         blk0_ref, blk1_ref, f0_ref, f1_ref, f2_ref,
+        (nft_ref, fp_ref,
+         init_ref, f0_ref, f1_ref, f2_ref,
          out_ref, tbl_ref) = refs
 
-    NT = WR + TR + 2 * LW
     b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _init():
-        tbl_ref[0 : WR + TR, :] = jnp.zeros((WR + TR, 128), dt)
+        tbl_ref[0:WR, :] = jnp.zeros((WR, 128), dt)
 
     @pl.when(b > 0)
     def _shift():
         tbl_ref[0:WR, :] = tbl_ref[TR : TR + WR, :]
 
-    tbl_ref[WR + TR : WR + TR + LW, :] = blk0_ref[...].astype(jnp.int32).astype(dt)
-    tbl_ref[WR + TR + LW : NT, :] = blk1_ref[...].astype(jnp.int32).astype(dt)
+    # Seed the tile from the literal image: every literal byte is already at
+    # its output position; match fires overwrite their lanes in place.
+    tbl_ref[WR : WR + TR, :] = init_ref[...].astype(jnp.int32).astype(dt)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB_, 128), 1)
     rowsTR = jax.lax.broadcasted_iota(jnp.int32, (RB_, TR), 1)
@@ -492,8 +481,7 @@ def _ring_kernel(*refs, TR, WR, LW, RB_, NF, NFW, dt, checksum):
 
         return fire
 
-    jax.lax.fori_loop(0, nfl_ref[b], make_fire(WR + TR, NT), 0)
-    jax.lax.fori_loop(nfl_ref[b], nft_ref[b], make_fire(0, WR + TR), 0)
+    jax.lax.fori_loop(0, nft_ref[b], make_fire(0, WR + TR), 0)
     tile = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
     out_ref[...] = tile
     if checksum:
@@ -520,8 +508,8 @@ def _ring_kernel(*refs, TR, WR, LW, RB_, NF, NFW, dt, checksum):
             acc_ref[...] = acc_ref[...] + part
 
 
-def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
-                 LW=LIT_W, RB_=RB, interpret=False, checksum=False):
+def _kernel_call(ntiles, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
+                 RB_=RB, interpret=False, checksum=False):
     """Build (and cache) the jitted pallas_call for a shape bucket."""
     import functools
 
@@ -530,25 +518,21 @@ def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    NT = WR + TR + 2 * LW
+    NT = WR + TR
     nfw = (nf + 31) // 32
     dt = jnp.float32 if interpret else jnp.bfloat16
     kern = functools.partial(
-        _ring_kernel, TR=TR, WR=WR, LW=LW, RB_=RB_, NF=nf, NFW=nfw, dt=dt,
+        _ring_kernel, TR=TR, WR=WR, RB_=RB_, NF=nf, NFW=nfw, dt=dt,
         checksum=checksum,
     )
-    nsp = 5 if checksum else 4  # + ntot when the in-kernel consumer is on
-
-    def blkmap(off):
-        return lambda b, *s: (s[2][b] + off, 0)
+    nsp = 3 if checksum else 2  # nf_tot, fper[, ntot]
 
     recmap = lambda b, *s: (b, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=nsp,  # nf_lit, nf_tot, litblk, fper[, ntot]
+        num_scalar_prefetch=nsp,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((LW, 128), blkmap(0)),
-            pl.BlockSpec((LW, 128), blkmap(1)),
+            pl.BlockSpec((TR, 128), lambda b, *s: (b, 0)),  # literal image
             pl.BlockSpec((1, nf, RB_), recmap),
             pl.BlockSpec((1, nf, RB_), recmap),
             pl.BlockSpec((1, nf, RB_), recmap),
@@ -567,20 +551,20 @@ def _kernel_call(ntiles, nblk, nf, *, TR=TILE_ROWS, WR=WINDOW_ROWS,
     if checksum:
         out_shape = [out_shape, jax.ShapeDtypeStruct((1, 128), jnp.int32)]
         return jax.jit(
-            lambda nfl, nft, lb, fp, ntot, c, a0, a1, a2: pl.pallas_call(
+            lambda nft, fp, ntot, init, a0, a1, a2: pl.pallas_call(
                 kern,
                 grid_spec=grid_spec,
                 out_shape=out_shape,
                 interpret=interpret,
-            )(nfl, nft, lb, fp, ntot, c, c, a0, a1, a2)
+            )(nft, fp, ntot, init, a0, a1, a2)
         )
     return jax.jit(
-        lambda nfl, nft, lb, fp, c, a0, a1, a2: pl.pallas_call(
+        lambda nft, fp, init, a0, a1, a2: pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(nfl, nft, lb, fp, c, c, a0, a1, a2)
+        )(nft, fp, init, a0, a1, a2)
     )
 
 
@@ -607,10 +591,9 @@ def decode_block_ring(comp, total_out: int, *, plan: RingPlan | None = None,
         plan = build_ring_plan(comp, total_out)
         if plan is None:
             return None
-    arrs = ring_plan_device_arrays(plan, comp)
+    arrs = ring_plan_device_arrays(plan)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
-                          nblk=arrs[4].shape[0] // plan.lit_w,
-                          nf=arrs[5].shape[1], interpret=interpret)
+                          nf=arrs[3].shape[1], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
@@ -660,37 +643,35 @@ def decode_parts_ring(
             total += p.shape[0]
     if total == 0:
         return b""
-    plan, comp = build_ring_plan_parts(parts, total, independent=independent)
+    plan, _ = build_ring_plan_parts(parts, total, independent=independent)
     if plan is None:
         return None
-    arrs = ring_plan_device_arrays(plan, comp)
+    arrs = ring_plan_device_arrays(plan)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
-                          nblk=arrs[4].shape[0] // plan.lit_w,
-                          nf=arrs[5].shape[1], interpret=interpret)
+                          nf=arrs[3].shape[1], interpret=interpret)
     flat = np.asarray(out, dtype=np.uint8).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
 
-def ring_plan_device_arrays(plan: RingPlan, comp):
-    """Bucket-pad the plan + compressed stream to stable device shapes.
+def ring_plan_device_arrays(plan: RingPlan, comp=None):
+    """Bucket-pad the plan to stable device shapes.
 
-    Record fields upload as-built when the tile count already sits on a
-    bucket boundary (fires beyond nf_tot never execute, so no padding values
-    are needed) — for big inputs this is the zero-copy common case."""
+    Record fields and the literal image upload as-built when the tile count
+    already sits on a bucket boundary (fires beyond nf_tot never execute, so
+    no padding values are needed) — for big inputs this is the zero-copy
+    common case. (``comp`` is accepted for call-site compatibility but
+    unused — the literal image replaced the compressed-stream windows.)"""
     plan.check_live()
     nt = _bucket(plan.ntiles)
-    nfl = np.zeros(nt, np.int32)
-    nfl[: plan.ntiles] = plan.nf_lit
     nft = np.zeros(nt, np.int32)
     nft[: plan.ntiles] = plan.nf_tot
-    lb = np.zeros(nt, np.int32)
-    lb[: plan.ntiles] = plan.litblk
     nfw = plan.fper.shape[1]
     fp = np.zeros(nt * nfw, np.int32)
     fp[: plan.ntiles * nfw] = plan.fper.reshape(-1)
     nf = plan.rec_f0.shape[1]
     if nt == plan.ntiles:
         f0, f1, f2 = plan.rec_f0, plan.rec_f1, plan.rec_f2
+        init = plan.lit_init
     else:
         f0 = np.zeros((nt, nf, plan.rb), np.int32)
         f0[: plan.ntiles] = plan.rec_f0
@@ -698,14 +679,12 @@ def ring_plan_device_arrays(plan: RingPlan, comp):
         f1[: plan.ntiles] = plan.rec_f1
         f2 = np.zeros((nt, nf, plan.rb), np.int32)
         f2[: plan.ntiles] = plan.rec_f2
-    rows = _comp_rows(plan, comp)
-    nblk = _bucket(rows.shape[0] // plan.lit_w, 16)
-    crows = np.zeros((nblk * plan.lit_w, 128), np.uint8)
-    crows[: rows.shape[0]] = rows
-    return nfl, nft, lb, fp, crows, f0, f1, f2
+        init = np.zeros((nt * plan.tile_rows, 128), np.uint8)
+        init[: plan.ntiles * plan.tile_rows] = plan.lit_init
+    return nft, fp, init, f0, f1, f2
 
 
-def ring_decode_jit(nfl, nft, lb, fp, crows, f0, f1, f2, *, ntiles, nblk, nf,
+def ring_decode_jit(nft, fp, init, f0, f1, f2, *, ntiles, nf,
                     interpret=False, ntot=None):
     """Run the ring kernel. With ``ntot`` (an int32 (1,) array holding the
     decoded byte count) the kernel also returns a (1, 128) int32 lane-partial
@@ -713,15 +692,15 @@ def ring_decode_jit(nfl, nft, lb, fp, crows, f0, f1, f2, *, ntiles, nblk, nf,
     sum the lanes mod 2**32 and compare against
     :func:`ring_checksum_expected`)."""
     cs = ntot is not None
-    key = (ntiles, nblk, nf, f0.shape[2], bool(interpret), cs)
+    key = (ntiles, nf, f0.shape[2], bool(interpret), cs)
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
-        fn = _kernel_call(ntiles, nblk, nf, RB_=f0.shape[2],
+        fn = _kernel_call(ntiles, nf, RB_=f0.shape[2],
                           interpret=interpret, checksum=cs)
         _KERNEL_CACHE[key] = fn
     if cs:
-        return fn(nfl, nft, lb, fp, ntot, crows, f0, f1, f2)
-    return fn(nfl, nft, lb, fp, crows, f0, f1, f2)
+        return fn(nft, fp, ntot, init, f0, f1, f2)
+    return fn(nft, fp, init, f0, f1, f2)
 
 
 def ring_checksum_expected(data: bytes) -> int:

@@ -380,27 +380,28 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
         if total == 0:
             staged.append(([], sizes))
             continue
-        plan, comp = RD.build_ring_plan_parts(parts, total, independent=True)
+        plan, _ = RD.build_ring_plan_parts(parts, total, independent=True)
         if plan is None:
             return None
-        arrs = list(RD.ring_plan_device_arrays(plan, comp))
+        arrs = list(RD.ring_plan_device_arrays(plan))
         # Copy the record fields out (they may be pool-backed views the next
         # group's build would reuse), sliced to the fire rows this group can
         # actually execute — typical plans use about half the static NFMAX
         # allocation, so this halves staging memory and upload bytes.
         nf_used = max(8, -(-int(plan.nf_tot.max() or 1) // 8) * 8)
-        nf_used = min(nf_used, arrs[5].shape[1])
+        nf_used = min(nf_used, arrs[3].shape[1])
         dnt_b = arrs[0].shape[0]
-        nfw_full = arrs[3].shape[0] // dnt_b
+        nfw_full = arrs[1].shape[0] // dnt_b
         nfw_used = -(-nf_used // 32)
         # .copy(), NOT ascontiguousarray: a sliced view with a size-1
         # leading dim counts as contiguous, and ascontiguousarray would
         # return the pool-backed view itself — which the 2-generation plan
         # pool then overwrites two builds later (observed corruption).
-        arrs[3] = (
-            arrs[3].reshape(dnt_b, nfw_full)[:, :nfw_used].copy().reshape(-1)
+        arrs[1] = (
+            arrs[1].reshape(dnt_b, nfw_full)[:, :nfw_used].copy().reshape(-1)
         )
-        for k in range(5, 8):
+        arrs[2] = arrs[2].copy()  # literal image (pool-backed too)
+        for k in range(3, 6):
             arrs[k] = arrs[k][:, :nf_used].copy()
         staged.append((arrs, sizes))
 
@@ -408,17 +409,14 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
     if not live:
         return [b"" for _ in payloads]
     nt = max(s[0][0].shape[0] for s in live)
-    nbr = max(s[0][4].shape[0] for s in live)  # crows rows
-    nf = max(s[0][5].shape[1] for s in live)
-    rb = live[0][0][5].shape[2]
+    nf = max(s[0][3].shape[1] for s in live)
+    rb = live[0][0][3].shape[2]
     nfw = -(-nf // 32)
-    lit_w = RD.LIT_W
+    tr = RD.TILE_ROWS
 
-    nfl = np.zeros((ndev, nt), np.int32)
     nft = np.zeros((ndev, nt), np.int32)
-    lb = np.zeros((ndev, nt), np.int32)
     fp = np.zeros((ndev, nt * nfw), np.int32)
-    crows = np.zeros((ndev, nbr, 128), np.uint8)
+    init = np.zeros((ndev, nt * tr, 128), np.uint8)
     f0 = np.zeros((ndev, nt, nf, rb), np.int32)
     f1 = np.zeros((ndev, nt, nf, rb), np.int32)
     f2 = np.zeros((ndev, nt, nf, rb), np.int32)
@@ -426,23 +424,20 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
         if not s or not s[0]:
             continue
         a = s[0]
-        dnt, dnf = a[0].shape[0], a[5].shape[1]
+        dnt, dnf = a[0].shape[0], a[3].shape[1]
         dnfw = -(-dnf // 32)
-        nfl[d, :dnt] = a[0]
-        nft[d, :dnt] = a[1]
-        lb[d, :dnt] = a[2]
-        fp[d].reshape(nt, nfw)[:dnt, :dnfw] = a[3].reshape(dnt, dnfw)
-        crows[d, : a[4].shape[0]] = a[4]
-        f0[d, :dnt, :dnf] = a[5]
-        f1[d, :dnt, :dnf] = a[6]
-        f2[d, :dnt, :dnf] = a[7]
+        nft[d, :dnt] = a[0]
+        fp[d].reshape(nt, nfw)[:dnt, :dnfw] = a[1].reshape(dnt, dnfw)
+        init[d, : a[2].shape[0]] = a[2]
+        f0[d, :dnt, :dnf] = a[3]
+        f1[d, :dnt, :dnf] = a[4]
+        f2[d, :dnt, :dnf] = a[5]
 
-    kc = RD._kernel_call(nt, nbr // lit_w, nf, RB_=rb, interpret=interpret)
+    kc = RD._kernel_call(nt, nf, RB_=rb, interpret=interpret)
     spec = P(BLOCK_AXIS)
 
-    def one(nfl_, nft_, lb_, fp_, crows_, f0_, f1_, f2_):
-        out = kc(nfl_[0], nft_[0], lb_[0], fp_[0], crows_[0],
-                 f0_[0], f1_[0], f2_[0])
+    def one(nft_, fp_, init_, f0_, f1_, f2_):
+        out = kc(nft_[0], fp_[0], init_[0], f0_[0], f1_[0], f2_[0])
         return out[None]
 
     # pallas_call's out_shape carries no vma annotation, so the static
@@ -450,19 +445,19 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
     # roundtrip_step_sharded's gather).
     try:
         smap = shard_map(
-            one, mesh=mesh, in_specs=(spec,) * 8, out_specs=spec,
+            one, mesh=mesh, in_specs=(spec,) * 6, out_specs=spec,
             check_vma=False,
         )
     except TypeError:  # pragma: no cover - older jax spells it check_rep
         smap = shard_map(
-            one, mesh=mesh, in_specs=(spec,) * 8, out_specs=spec,
+            one, mesh=mesh, in_specs=(spec,) * 6, out_specs=spec,
             check_rep=False,
         )
     sharded = jax.jit(smap)
     sh = jax.sharding.NamedSharding(mesh, spec)
     out = sharded(*(
         jax.device_put(x, sh)
-        for x in (nfl, nft, lb, fp, crows, f0, f1, f2)
+        for x in (nft, fp, init, f0, f1, f2)
     ))
     out_h = fetch_global(out).astype(np.uint8)
 

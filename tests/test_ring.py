@@ -146,9 +146,9 @@ def test_plan_deterministic_across_threads(corpus_34k):
     comp = _u8(block.compress(corpus_34k))
     a = build_ring_plan(comp, len(corpus_34k), nthreads=1)
     b = build_ring_plan(comp, len(corpus_34k), nthreads=4)
-    np.testing.assert_array_equal(a.nf_lit, b.nf_lit)
     np.testing.assert_array_equal(a.nf_tot, b.nf_tot)
-    np.testing.assert_array_equal(a.litblk, b.litblk)
+    np.testing.assert_array_equal(a.fper, b.fper)
+    np.testing.assert_array_equal(a.lit_init, b.lit_init)
     # record slots beyond nf_tot are never read by the kernel and stay
     # uninitialized by design — compare only live fires
     live = np.arange(a.rec_f0.shape[1])[None, :, None] < a.nf_tot[:, None, None]
@@ -220,9 +220,9 @@ def test_kernel_interpret_inline_checksum(corpus_34k):
     comp = _u8(block.compress(data))
     plan = build_ring_plan(comp, len(data))
     assert plan is not None
-    arrs = [jnp.asarray(a) for a in ring_plan_device_arrays(plan, comp)]
-    kw = dict(ntiles=_bucket(plan.ntiles), nblk=arrs[4].shape[0] // plan.lit_w,
-              nf=arrs[5].shape[1], interpret=True)
+    arrs = [jnp.asarray(a) for a in ring_plan_device_arrays(plan)]
+    kw = dict(ntiles=_bucket(plan.ntiles), nf=arrs[3].shape[1],
+              interpret=True)
     ntot = jnp.asarray(np.array([len(data)], np.int32))
     out, acc = ring_decode_jit(*arrs, ntot=ntot, **kw)
     got = np.asarray(out, np.uint8).reshape(-1)[: len(data)].tobytes()
