@@ -576,13 +576,13 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 // independent blocks only their own output
 // (/root/reference/src/frame/decompress.rs:282-306); stored blocks become
 // literal-only pseudo-sequences. Pass 2 builds tiles CONCURRENTLY: the
-// per-byte origin chase and depth recurrence read only sources at/after the
-// tile start (earlier sources resolve to ring records), so tiles share
-// nothing and a small thread pool scales the build with host cores.
+// per-byte depth recurrence and the sparse piece index read only sources
+// at/after the tile start (earlier sources resolve to ring records), so
+// tiles share nothing and a small thread pool scales the build with cores.
 //
-// The host-side origin map performs tile-local partial chain resolution so
-// typical depths collapse to 0-2; deep fragmented pieces fall back to raw
-// ring records with the depth machinery.
+// The lazy per-piece origin chase performs tile-local partial chain
+// resolution so typical depths collapse to 0-2; deep fragmented pieces fall
+// back to raw ring records with the depth machinery.
 //
 // Returns nseq, a parse error (TLZ4_ERR_*), or a TLZ4_PLAN_* overflow code
 // when the static plan shape cannot hold the input (caller falls back to
@@ -695,20 +695,25 @@ WorkPool g_pool;
 // per-byte ops below are SIMD/inline-optimized instead.
 
 // TLZ4_SKIP={origin,scan,set} ablation flags: skip per-byte fill stages to
-// attribute emit cost (output is WRONG under any of them — timing only).
+// attribute emit cost (output is WRONG under `scan`/`set`; `origin` now just
+// disables deep-piece resolution, which stays CORRECT — deep pieces emit raw
+// records with the depth machinery).
 bool skip_origin = false, skip_scan = false, skip_set = false;
-// finer origin attribution: literal iota fills / match ring-iota + chase
-bool skip_lito = false, skip_mato = false;
 // skip_pack: drop ring_pack_tile; skip_push: drop record buffering too
 bool skip_pack = false, skip_push = false;
 // TLZ4_HARD_GROUPS=1: pad every depth group to a whole fire (pre-soft
 // layout) — A/B and debugging
 bool hard_groups = false;
+// TLZ4_DETERMINISTIC=1: zero-fill match spans in the literal image so plans
+// are byte-identical across pool generations (debug/diffing only — decoded
+// output is exact either way)
+bool deterministic_fill = false;
 
 // TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
 bool prof_on = false;
 std::atomic<int64_t> prof_emit_ns{0}, prof_pack_ns{0}, prof_recs{0};
 std::atomic<int64_t> prof_deep_tiles{0}, prof_deep_pieces{0};
+std::atomic<int64_t> prof_chase_nodes{0}, prof_chase_aborts{0};
 std::atomic<int64_t> prof_gfires[18];   // fires per group (17+ lumped)
 std::atomic<int64_t> prof_gslots[18];   // used record slots per group
 
@@ -766,35 +771,11 @@ static inline uint8_t depth_range_max(const uint8_t* dp, int64_t lo,
 #endif
 }
 
-// origin[p, pe) = v, v+step, v+2*step, ... (affine fill). The common span
-// is tiny (avg literal run ~3-6 B on text), so the scalar tail loop and its
-// branches dominate; when the 4-wide overshoot stays inside the tile
-// (`te`), spill values past pe are garbage that later fills of the SAME
-// tile overwrite before any read — every read (chase sources, deep-piece
-// spans) only touches positions at/below the tile's fill cursor, and every
-// position below the cursor has received its final fill (same invariant as
-// depth_fill's 8-byte splat). Crossing te would race the next tile's
-// worker, so te-adjacent fills take the exact path.
-static inline void origin_iota(int32_t* o, int64_t p, int64_t pe,
-                               int32_t v, int32_t step, int64_t te) {
-#if defined(__SSE2__)
-    __m128i vec = _mm_setr_epi32(v, v + step, v + 2 * step, v + 3 * step);
-    const __m128i stride = _mm_set1_epi32(4 * step);
-    if (pe + 4 <= te) {  // overshoot-safe: spill stays inside this tile
-        for (; p < pe; p += 4) {
-            _mm_storeu_si128((__m128i*)(o + p), vec);
-            vec = _mm_add_epi32(vec, stride);
-        }
-        return;
-    }
-    for (; p + 4 <= pe; p += 4) {
-        _mm_storeu_si128((__m128i*)(o + p), vec);
-        vec = _mm_add_epi32(vec, stride);
-        v += 4 * step;
-    }
-#endif
-    for (; p < pe; p++, v += step) o[p] = v;
-}
+// (The per-byte int32 origin map and its affine iota/chase fills — ~7 ms
+// of the 10 MB plan wall, 4 B written per output byte — were replaced in
+// round 4 by the LAZY per-piece chase below: deep pieces (~2.6% of records
+// on text) resolve by recursing through a per-tile sparse piece index
+// instead of reading a pre-materialized origin byte-map.)
 
 // depth[p0, p0+len) = d — inline small stores (avg len ~6; memset call
 // overhead dominated the TLZ4_SKIP=set ablation). The len<8 fast path
@@ -854,10 +835,17 @@ struct RecArena {
     void reset() { used = 0; }
 };
 
+// 20-byte sequence record: the parse walk + assembly move ~2 of these per
+// 26 comp bytes, so size is bandwidth (32 -> 20 B measurably cut the parse
+// phase). int32 positions bound one ring plan to <2 GiB of comp/output —
+// inputs beyond that return TLZ4_PLAN_OVERFLOW up front (the 2 GiB plan
+// would need ~10 GiB of record arrays anyway; callers fall back).
 struct RingSeq {
-    int64_t lit_start;   // literal run start in the (concatenated) comp buf
-    int64_t out_off;     // global output position of the literal run
-    int32_t lit_len, match_len, match_off;
+    int32_t lit_start;   // literal run start in the (concatenated) comp buf
+    int32_t out_off;     // global output position of the literal run
+    int32_t lit_len, match_len;
+    uint16_t match_off;  // wire-format offset <= 65535
+    uint16_t _pad;
 };
 
 struct RingShared {
@@ -877,9 +865,6 @@ struct RingShared {
                         // host-side; the kernel seeds each tile from it and
                         // only match fires run on device
     uint8_t* depth;   // (expected_out) per-byte fire depth
-    int32_t* origin;  // (expected_out) tile-local origin:
-                      //   >= 0: comp position (literal byte)
-                      //   <  0: -(g+1), g = output position (ring byte)
 };
 
 // Builder state for exactly one tile: output range [ts, te).
@@ -895,7 +880,88 @@ struct RingTile {
     RecArena* arena;
     // stream id 2*group + periodic, group = 1+d matches (literals bypass)
     std::vector<GroupStream>* gs;
+    // Sparse piece index for the lazy origin chase: entry i covers output
+    // positions [ppos[i], ppos[i+1]) (last entry to te). pval[i] >= 0 is a
+    // literal fragment whose byte at x is input[pval[i] + (x - ppos[i])];
+    // pval[i] < 0 is a match piece with offset -pval[i] (byte at x copies
+    // x + pval[i]). Entries are appended in output order by the seq loop,
+    // and every in-tile byte below the emit cursor is covered.
+    std::vector<int32_t>* ppos;
+    std::vector<int32_t>* pval;
 };
+
+// Lazy chase: resolve a source span into <= cap affine runs over comp
+// positions (literal origins) or pre-tile ring positions, by recursing
+// through the piece index — the sparse replacement for reading a
+// pre-materialized per-byte origin map. Node/run budgets bound the work on
+// pathological chains (budget exhaustion falls back to a raw record with
+// the depth machinery, exactly like an unusable eager resolution did).
+struct LazyRuns {
+    int64_t start[64];  // run source start: comp pos (kind 0) / output pos
+    int32_t len[64];    //                   of a ring byte (kind 1)
+    uint8_t kind[64];
+    int32_t n = 0, cap = 16;
+    int32_t nodes = 0, node_budget = 0;
+    bool ok = true;
+};
+
+static inline void lazy_push_run(LazyRuns& R, uint8_t kind, int64_t start,
+                                 int64_t len) {
+    if (R.n && R.kind[R.n - 1] == kind &&
+        R.start[R.n - 1] + R.len[R.n - 1] == start) {
+        R.len[R.n - 1] += (int32_t)len;
+        return;
+    }
+    if (R.n >= R.cap) { R.ok = false; return; }
+    R.start[R.n] = start;
+    R.len[R.n] = (int32_t)len;
+    R.kind[R.n] = kind;
+    R.n++;
+}
+
+static void lazy_chase(const RingTile& c, int64_t lo, int64_t hi,
+                       LazyRuns& R) {
+    if (!R.ok) return;
+    if (++R.nodes > R.node_budget) { R.ok = false; return; }
+    if (lo < c.ts) {  // pre-tile prefix: a ring run (kernel window rows)
+        if (lo < c.ring_base) { R.ok = false; return; }  // left the ring
+        int64_t rhi = hi < c.ts ? hi : c.ts;
+        lazy_push_run(R, 1, lo, rhi - lo);
+        if (!R.ok || rhi >= hi) return;
+        lo = rhi;
+    }
+    const std::vector<int32_t>& pos = *c.ppos;
+    const std::vector<int32_t>& val = *c.pval;
+    // last entry with pos <= lo (coverage guarantees pos[0] == ts <= lo).
+    // Chase targets cluster near the emit cursor (small offsets dominate),
+    // so probe a short tail walk first; fall back to binary search.
+    size_t i, n = pos.size();
+    if (n >= 8 && (int64_t)pos[n - 8] <= lo) {
+        i = n - 1;
+        while ((int64_t)pos[i] > lo) i--;
+    } else {
+        size_t a = 0, b = n;
+        while (a < b) {
+            size_t m = (a + b) / 2;
+            if ((int64_t)pos[m] <= lo) a = m + 1; else b = m;
+        }
+        i = a - 1;
+    }
+    while (lo < hi) {
+        if (++R.nodes > R.node_budget) { R.ok = false; return; }
+        int64_t e_end = (i + 1 < pos.size()) ? (int64_t)pos[i + 1] : c.te;
+        int64_t seg_hi = hi < e_end ? hi : e_end;
+        int32_t v = val[i];
+        if (v >= 0) {
+            lazy_push_run(R, 0, (int64_t)v + (lo - pos[i]), seg_hi - lo);
+        } else {
+            lazy_chase(c, lo + v, seg_hi + v, R);  // v = -offset
+        }
+        if (!R.ok) return;
+        lo = seg_hi;
+        i++;
+    }
+}
 
 // splat[p, pe) = v (int32), 4-wide
 static inline void stamp_i32(int32_t* o, int64_t p, int64_t pe, int32_t v) {
@@ -978,37 +1044,70 @@ int ring_pack_tile(RingTile& c) {
             fire_per = false;
             k = upto;
         };
+        bool wfz_any = false;  // Wfz all-zero => no conflict possible
         for (int32_t gi = 1; (size_t)2 * gi < nstreams; gi++) {
             std::memcpy(Wfz, W, sizeof(W));  // freeze prior groups' writes
+            wfz_any = (Wfz[0] | Wfz[1] | Wfz[2] | Wfz[3] | Wfz[4] | Wfz[5] |
+                       Wfz[6] | Wfz[7]) != 0;
             for (int pass = 0; pass < 2; pass++) {
                 size_t sid = 2 * (size_t)gi + pass;
                 if (sid >= nstreams) break;
+                const bool per = pass == 1;  // streams segregate periodic
                 for (RecChunk* ch = (*c.gs)[sid].head; ch; ch = ch->next) {
-                    for (int32_t i = 0; i < ch->n; i++) {
-                        int32_t v0 = ch->v0[i], v1 = ch->v1[i], v2 = ch->v2[i];
-                        int32_t r0 = v0 >> 7;
-                        bool per = ((v1 >> 7) & 127) != 127;
-                        // conflict: a read row written by an EARLIER group
-                        // in the open fire (periodic pulls rows r0, r0+1)
-                        bool hit = false;
-                        if (r0 >= WR && r0 < WR + TR)
-                            hit = (Wfz[(r0 - WR) >> 6] >>
-                                   ((r0 - WR) & 63)) & 1;
-                        if (per && !hit && r0 + 1 >= WR && r0 + 1 < WR + TR)
-                            hit = (Wfz[(r0 + 1 - WR) >> 6] >>
-                                   ((r0 + 1 - WR) & 63)) & 1;
-                        if (hit)
-                            close_fire(((k + RB - 1) / RB) * RB);
-                        if (k >= cap) return TLZ4_PLAN_OVF_SLOT;
-                        g.f0[tbase + k] = v0;
-                        g.f1[tbase + k] = v1;
-                        g.f2[tbase + k] = v2;
-                        int32_t wrow = (v2 >> 7) & 511;
-                        W[wrow >> 6] |= 1ull << (wrow & 63);
-                        fire_per |= per;
-                        k++;
-                        if (!(k % RB)) close_fire(k);
-                        lslots[gi < 17 ? gi : 17]++;
+                    int32_t i = 0;
+                    while (i < ch->n) {
+                        // span = up to the next fire boundary / chunk end
+                        int32_t room = (int32_t)(RB - (k % RB));
+                        int32_t lim = ch->n - i < room ? ch->n : i + room;
+                        // first conflicting record in [i, lim): a read row
+                        // written by an EARLIER group in the open fire
+                        // (periodic records pull rows r0 and r0+1); Wfz is
+                        // constant within the span, so scan then bulk-copy
+                        int32_t j = i;
+                        if (wfz_any) {
+                            for (; j < lim; j++) {
+                                int32_t r0 = (ch->v0[j] >> 7) - WR;
+                                bool hit = (uint32_t)r0 < (uint32_t)TR &&
+                                           ((Wfz[r0 >> 6] >> (r0 & 63)) & 1);
+                                if (per && !hit) {
+                                    int32_t r1 = r0 + 1;
+                                    hit = (uint32_t)r1 < (uint32_t)TR &&
+                                          ((Wfz[r1 >> 6] >> (r1 & 63)) & 1);
+                                }
+                                if (hit) break;
+                            }
+                        } else {
+                            j = lim;
+                        }
+                        if (j > i) {
+                            int32_t m = j - i;
+                            if (k + m > cap) return TLZ4_PLAN_OVF_SLOT;
+                            std::memcpy(g.f0 + tbase + k, ch->v0 + i,
+                                        (size_t)m * 4);
+                            std::memcpy(g.f1 + tbase + k, ch->v1 + i,
+                                        (size_t)m * 4);
+                            std::memcpy(g.f2 + tbase + k, ch->v2 + i,
+                                        (size_t)m * 4);
+                            for (int32_t q = i; q < j; q++) {
+                                int32_t wrow = (ch->v2[q] >> 7) & 511;
+                                W[wrow >> 6] |= 1ull << (wrow & 63);
+                            }
+                            fire_per |= per;
+                            lslots[gi < 17 ? gi : 17] += m;
+                            k += m;
+                            if (!(k % RB)) {
+                                close_fire(k);
+                                wfz_any = false;  // fresh fire: Wfz cleared
+                            }
+                            i = j;
+                        }
+                        if (j < lim) {  // conflict at j: pad out the fire
+                            if (k % RB) {
+                                close_fire(((k + RB - 1) / RB) * RB);
+                                wfz_any = false;
+                            }
+                        }
+                        if (k >= cap && i < ch->n) return TLZ4_PLAN_OVF_SLOT;
                     }
                 }
             }
@@ -1176,7 +1275,7 @@ inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0,
     return 0;
 }
 
-// Emit one match row-piece [p0, p0+span) using the tile-local origin map:
+// Emit one match row-piece [p0, p0+span) using the lazy origin chase:
 // shallow pieces (raw depth < resolve_min_depth) emit one cheap raw record;
 // deep pieces whose origins form <= resolve_runs affine runs staying inside
 // the ring/window emit depth-0/1 resolved records (host-side partial chain
@@ -1208,47 +1307,47 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
     }
     if (d_raw >= g.resolve_min_depth && !skip_origin) {
         c.deep_pieces++;
-        // split origins into affine runs: literal runs step +1 in comp
-        // space; ring runs step +1 in output space, i.e. -(g+1) steps DOWN
-        // by 1. Pass 1 counts run breaks branchlessly (vectorizable);
-        // pass 2 collects start positions only when the count is usable.
-        const int32_t* ov = g.origin + p0;
-        int32_t RT = g.resolve_runs < 64 ? g.resolve_runs : 64;
-        int32_t nruns = 1;
-        for (int32_t k = 1; k < span; k++) {
-            int32_t prev = ov[k - 1];
-            int32_t step = (prev >= 0) ? 1 : -1;
-            nruns += (ov[k] != prev + step);
+        // Lazy chase: recurse the piece's source span through the sparse
+        // piece index until every byte telescopes to a comp position or a
+        // pre-tile ring byte; usable when it fits the run budget and the
+        // node budget (pathological chains — e.g. long off<=2 RLE — abort
+        // and take the raw path, same as an unusable eager resolution).
+        LazyRuns R;
+        R.cap = g.resolve_runs < 64 ? g.resolve_runs : 64;
+        R.node_budget = 8 * R.cap + 64;
+        lazy_chase(c, p0 - off, p0 - off + span, R);
+        if (prof_on) {
+            prof_chase_nodes.fetch_add(R.nodes, std::memory_order_relaxed);
+            if (!R.ok)
+                prof_chase_aborts.fetch_add(1, std::memory_order_relaxed);
         }
-        int32_t starts[64];
-        bool usable = nruns <= RT;
-        if (usable) {
-            int32_t w = 0;
-            for (int32_t k = 0; k < span; k++) {
-                int32_t o = ov[k];
-                bool brk =
-                    (k == 0) || (o != ov[k - 1] + (ov[k - 1] >= 0 ? 1 : -1));
-                if (brk) {
-                    starts[w++] = k;
-                    if (o < 0 && (int64_t)(-(int64_t)o - 1) < c.ring_base)
-                        usable = false;  // telescoped origin left the ring
-                    // comp origins are always usable: the resolver memcpys
-                    // them from the input buffer (no literal window)
-                }
-            }
-        }
-        if (nruns <= RT && usable) {
-            for (int32_t i = 0; i < nruns; i++) {
-                int32_t k0 = starts[i];
-                int32_t k1 = (i + 1 < nruns) ? starts[i + 1] : span;
-                int32_t o = g.origin[p0 + k0];
+        if (R.ok) {
+            // Memoize: append the resolved mapping as index entries so later
+            // chases through this span terminate in one step instead of
+            // re-walking the chain (repetitive content chases the same hot
+            // regions over and over — measured 27% of a single-threaded
+            // build without the memo). A closing entry restores the raw
+            // match mapping for the piece's tail positions; ring runs
+            // memoize as synthetic offset entries (their offset may exceed
+            // 65535 — it is an affine map, not a wire-format offset).
+            int64_t p = p0;
+            for (int32_t i = 0; i < R.n; i++) {
                 int rc_;
-                if (o >= 0)
-                    rc_ = ring_emit_lit(c, p0 + k0, k1 - k0, o);
-                else
-                    rc_ = ring_emit_plain(c, p0 + k0, k1 - k0,
-                                          (int64_t)(-(int64_t)o - 1));
+                if (R.kind[i] == 0) {
+                    c.ppos->push_back((int32_t)p);
+                    c.pval->push_back((int32_t)R.start[i]);
+                    rc_ = ring_emit_lit(c, p, R.len[i], R.start[i]);
+                } else {
+                    c.ppos->push_back((int32_t)p);
+                    c.pval->push_back((int32_t)-(p - R.start[i]));
+                    rc_ = ring_emit_plain(c, p, R.len[i], R.start[i]);
+                }
                 if (rc_) return rc_;
+                p += R.len[i];
+            }
+            if (p < c.te) {
+                c.ppos->push_back((int32_t)p);
+                c.pval->push_back((int32_t)-off);
             }
             return 0;
         }
@@ -1327,7 +1426,8 @@ int64_t ring_parse_blocks(
                 *total_out = opos + blk_len[b];
                 return TLZ4_ERR_OUTPUT_TOO_SMALL;
             }
-            seqs.push_back({(int64_t)ip, opos, (int32_t)blk_len[b], 0, 0});
+            seqs.push_back({(int32_t)ip, (int32_t)opos,
+                            (int32_t)blk_len[b], 0, 0, 0});
             opos += blk_len[b];
             nseq++;
             if (wm) publish();
@@ -1352,8 +1452,8 @@ int64_t ring_parse_blocks(
                 return TLZ4_ERR_OUTPUT_TOO_SMALL;
             }
             RingSeq q;
-            q.lit_start = (int64_t)ip;
-            q.out_off = opos;
+            q.lit_start = (int32_t)ip;
+            q.out_off = (int32_t)opos;
             q.lit_len = (int32_t)ll;
             ip += ll;
             opos += (int64_t)ll;
@@ -1384,7 +1484,7 @@ int64_t ring_parse_blocks(
                 *total_out = opos + (int64_t)ml;
                 return TLZ4_ERR_OUTPUT_TOO_SMALL;
             }
-            q.match_off = (int32_t)offset;
+            q.match_off = (uint16_t)offset;
             q.match_len = (int32_t)ml;
             seqs.push_back(q);
             nseq++;
@@ -1443,7 +1543,7 @@ void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
     if (it.stored) {
         if (blk_end > it.ip0)
             it.seqs.push_back(
-                {it.ip0, 0, (int32_t)(blk_end - it.ip0), 0, 0});
+                {(int32_t)it.ip0, 0, (int32_t)(blk_end - it.ip0), 0, 0, 0});
         it.out_total = blk_end - it.ip0;
         it.end_ip = -2;
         return;
@@ -1484,8 +1584,8 @@ void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
         if (ll > blk_end - ip) { it.err = TLZ4_ERR_LITERAL_OOB; break; }
         {
             RingSeq q;
-            q.lit_start = ip;
-            q.out_off = opos;
+            q.lit_start = (int32_t)ip;
+            q.out_off = (int32_t)opos;
             q.lit_len = (int32_t)ll;
             ip += ll;
             opos += ll;
@@ -1511,7 +1611,7 @@ void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
                 }
             }
             ml += (int64_t)MINMATCH;
-            q.match_off = (int32_t)offset;
+            q.match_off = (uint16_t)offset;
             q.match_len = (int32_t)ml;
             it.seqs.push_back(q);
             it.tok.push_back((int32_t)(tstart - it.ip0));
@@ -1695,7 +1795,7 @@ int64_t ring_parse_parallel(
                 RingSeq* dst = out + s.gseq0;
                 for (int64_t j = 0; j < n; j++) {
                     RingSeq q = src[j];
-                    q.out_off += s.delta;
+                    q.out_off = (int32_t)(q.out_off + s.delta);
                     int64_t oafter = q.out_off + q.lit_len;
                     if (oafter > expected_out) {
                         errs[si] = {TLZ4_ERR_OUTPUT_TOO_SMALL, s.gseq0 + j,
@@ -1743,8 +1843,9 @@ int64_t ring_parse_parallel(
     return gseq;
 }
 
-// Pass 2, one tile: origin chase + record emission for output [ts, te).
-// Reads g.depth/g.origin only inside the tile, so tiles are independent.
+// Pass 2, one tile: record emission (+ lazy origin chases) for [ts, te).
+// Reads g.depth and the piece index only inside the tile, so tiles are
+// independent.
 int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
                     const RingWatermark* wm, int32_t t) {
     auto tt0 = std::chrono::steady_clock::now();
@@ -1753,13 +1854,18 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
     // the steady state allocates nothing.
     static thread_local RecArena arena_tls;
     static thread_local std::vector<GroupStream> gs_tls;
+    static thread_local std::vector<int32_t> ppos_tls, pval_tls;
     RingTile c;
     c.g = &g;
     c.t = t;
     arena_tls.reset();
     gs_tls.clear();
+    ppos_tls.clear();
+    pval_tls.clear();
     c.arena = &arena_tls;
     c.gs = &gs_tls;
+    c.ppos = &ppos_tls;
+    c.pval = &pval_tls;
     c.tbase = (int64_t)t * g.rb * g.nfmax;
     c.row_mask = (g.tile_rows & (g.tile_rows - 1)) == 0 ? g.tile_rows - 1 : 0;
     c.ts = ((int64_t)t * g.tile_rows) << 7;
@@ -1812,8 +1918,8 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         int64_t pe = l1 < c.te ? l1 : c.te;
         if (p < pe) {
             int64_t csrc = q.lit_start + (p - q.out_off);
-            if (!skip_origin && !skip_lito)
-                origin_iota(g.origin, p, pe, (int32_t)csrc, 1, c.te);
+            c.ppos->push_back((int32_t)p);
+            c.pval->push_back((int32_t)csrc);
             if (int rc_ = ring_emit_lit_frag(c, p, pe, csrc)) return rc_;
         }
         if (q.match_len <= 0) continue;
@@ -1823,46 +1929,18 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         int64_t mp = m0 < c.ts ? c.ts : m0;
         int64_t me = m0 + q.match_len < c.te ? m0 + q.match_len : c.te;
         if (mp >= me) continue;
-        // Zero the match span in the literal image (kernel fires overwrite
-        // it; zeros keep plans byte-deterministic). Resolved comp-origin
-        // runs memcpy over these zeros afterwards (ring_emit_piece).
-        std::memset(g.lit_init + mp, 0, (size_t)(me - mp));
-        // Tile-local origin chase: byte pk copies from sk = pk - off;
-        // in-tile sources inherit the source byte's origin (host-side
-        // partial chain resolution), pre-tile sources become ring origins
-        // -(sk+1). Split at the ring boundary so both halves vectorize: the
-        // ring half is an iota fill, the in-tile half a (possibly periodic)
-        // block copy with no intra-chunk aliasing.
-        if (!skip_origin && !skip_mato) {
-            int64_t ring_end = c.ts + off < me ? c.ts + off : me;
-            int32_t o0 = (int32_t)(-(mp - off) - 1);
-            origin_iota(g.origin, mp, ring_end, o0, -1, c.te);
-            int64_t pk = ring_end > mp ? ring_end : mp;
-            while (pk < me) {
-                int64_t chunk = me - pk < off ? me - pk : off;
-                // Small-chunk fast path: glibc memcpy dispatch dominates a
-                // ~10-element copy. A blind 8-element (32 B) copy is exact
-                // iff the source block can't overlap the destination
-                // (off >= 8 elements) and the spill stays inside the tile
-                // (overshoot invariant above).
-#if defined(__SSE2__)
-                if (chunk <= 8 && off >= 8 && pk + 8 <= c.te) {
-                    const int32_t* s = g.origin + pk - off;
-                    int32_t* d = g.origin + pk;
-                    _mm_storeu_si128((__m128i*)d,
-                                     _mm_loadu_si128((const __m128i*)s));
-                    _mm_storeu_si128(
-                        (__m128i*)(d + 4),
-                        _mm_loadu_si128((const __m128i*)(s + 4)));
-                } else
-#endif
-                {
-                    std::memcpy(g.origin + pk, g.origin + pk - off,
-                                (size_t)chunk * 4);
-                }
-                pk += chunk;
-            }
-        }
+        // Match spans in the literal image stay UNINITIALIZED (pooled
+        // np.empty garbage): every match byte is covered by exactly one
+        // fire record or by a resolved-literal memcpy, so the kernel's
+        // in-place overwrites make the decoded output exact regardless.
+        // TLZ4_DETERMINISTIC=1 restores the zero fill (byte-identical
+        // lit_init images across pool generations, for plan diffing).
+        if (deterministic_fill)
+            std::memset(g.lit_init + mp, 0, (size_t)(me - mp));
+        // Index the match for the lazy chase (one entry per match, not per
+        // row-piece: fewer entries, fewer recursion splits).
+        c.ppos->push_back((int32_t)mp);
+        c.pval->push_back((int32_t)-off);
         int64_t pp = mp, rem = me - mp;
         while (rem > 0) {
             int32_t span = (int32_t)(128 - (pp & 127));
@@ -1905,28 +1983,34 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     int32_t nthreads,
     int32_t* f0, int32_t* f1, int32_t* f2,
     int32_t* nf_tot, int32_t* fper, uint8_t* lit_init,
-    uint8_t* depth, int32_t* origin, int64_t* total_out)
+    uint8_t* depth, int64_t* total_out)
 {
+    // int32 positions throughout the plan (RingSeq, piece index, record
+    // fields): one plan is bounded to <2 GiB of comp and output — callers
+    // fall back on the overflow code (such a plan would need ~10 GiB of
+    // record arrays regardless; the frame layer batches long streams).
+    if (input_len >= (size_t)INT32_MAX || expected_out >= (int64_t)INT32_MAX)
+        return TLZ4_PLAN_OVERFLOW;
     const bool prof = std::getenv("TLZ4_PLAN_PROF") != nullptr;
     prof_on = prof;
     if (const char* sk = std::getenv("TLZ4_SKIP")) {
         skip_origin = std::strstr(sk, "origin") != nullptr;
         skip_scan = std::strstr(sk, "scan") != nullptr;
         skip_set = std::strstr(sk, "set") != nullptr;
-        skip_lito = std::strstr(sk, "lito") != nullptr;
         skip_pack = std::strstr(sk, "pack") != nullptr;
         skip_push = std::strstr(sk, "push") != nullptr;
-        skip_mato = std::strstr(sk, "mato") != nullptr;
     } else {
-        skip_origin = skip_scan = skip_set = skip_lito = skip_mato = false;
+        skip_origin = skip_scan = skip_set = false;
         skip_pack = skip_push = false;
     }
     {
         hard_groups = std::getenv("TLZ4_HARD_GROUPS") != nullptr;
+        deterministic_fill = std::getenv("TLZ4_DETERMINISTIC") != nullptr;
     }
     if (prof) {
         prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);
         prof_deep_tiles.store(0); prof_deep_pieces.store(0);
+        prof_chase_nodes.store(0); prof_chase_aborts.store(0);
         for (auto& a : prof_gfires) a.store(0);
         for (auto& a : prof_gslots) a.store(0);
     }
@@ -1944,7 +2028,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
 
     RingShared g{tile_rows, window_rows, ntiles, rb, nfmax,
                  resolve_min_depth, resolve_runs, expected_out, input,
-                 f0, f1, f2, nf_tot, fper, lit_init, depth, origin};
+                 f0, f1, f2, nf_tot, fper, lit_init, depth};
     RingWatermark wm;
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};
@@ -2010,12 +2094,14 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
             stderr,
             "[tlz4 plan] parse %.1f ms  total %.1f ms (%d threads)  "
             "emit %.1f ms-cpu  pack %.1f ms-cpu  %lld recs  "
-            "deep tiles %lld/%d pieces %lld\n",
+            "deep tiles %lld/%d pieces %lld nodes %lld aborts %lld\n",
             std::chrono::duration<double, std::milli>(t1 - t0).count(),
             std::chrono::duration<double, std::milli>(t2 - t0).count(), nth,
             prof_emit_ns.load() / 1e6, prof_pack_ns.load() / 1e6,
             (long long)prof_recs.load(), (long long)prof_deep_tiles.load(),
-            ntiles, (long long)prof_deep_pieces.load());
+            ntiles, (long long)prof_deep_pieces.load(),
+            (long long)prof_chase_nodes.load(),
+            (long long)prof_chase_aborts.load());
         std::fprintf(stderr, "[tlz4 plan] group (fires, kslots):");
         for (int i = 0; i < 18; i++)
             if (prof_gfires[i].load())

@@ -130,7 +130,7 @@ def _native_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p, u8p,
-            u8p, i32p, i64p,
+            u8p, i64p,
         ]
         lib.tlz4_build_ring_plan2._tlz4_configured = True
     return lib
@@ -142,15 +142,15 @@ _scratch = threading.local()
 
 
 def _chase_scratch(n: int):
-    """Per-thread reusable depth/origin chase buffers (internal to one build
-    call — never part of the returned plan, so reuse cannot alias). +64
-    bytes of slack: the native SIMD range-max overlap-loads up to 15 bytes
-    past a scan end, which may touch [total_out, total_out+15)."""
+    """Per-thread reusable depth buffer (internal to one build call — never
+    part of the returned plan, so reuse cannot alias). +64 bytes of slack:
+    the native SIMD range-max overlap-loads up to 15 bytes past a scan end,
+    which may touch [total_out, total_out+15)."""
     size = max(n + 64, 1 << 20)
     cur = getattr(_scratch, "bufs", None)
-    if cur is None or cur[0].shape[0] < size:
+    if cur is None or cur.shape[0] < size:
         size = -(-size // (1 << 20)) * (1 << 20)
-        cur = (np.empty(size, np.uint8), np.empty(size, np.int32))
+        cur = np.empty(size, np.uint8)
         _scratch.bufs = cur
     return cur
 
@@ -243,7 +243,7 @@ def build_ring_plan_parts(
     )
     nf_tot = np.zeros(ntiles, np.int32)
     fper = np.zeros((ntiles, (nfmax + 31) // 32), np.int32)
-    depth, origin = _chase_scratch(total_out)
+    depth = _chase_scratch(total_out)
     tot = np.zeros(1, np.int64)
 
     lib = _native_lib()
@@ -261,7 +261,7 @@ def build_ring_plan_parts(
         f2.ctypes.data_as(i32p),
         nf_tot.ctypes.data_as(i32p), fper.ctypes.data_as(i32p),
         lit_init.ctypes.data_as(u8p),
-        depth.ctypes.data_as(u8p), origin.ctypes.data_as(i32p),
+        depth.ctypes.data_as(u8p),
         tot.ctypes.data_as(i64p),
     )
     if rc == -102 and nfmax < NFMAX_RETRY:
@@ -398,8 +398,7 @@ def _ring_kernel(*refs, TR, WR, RB_, NF, NFW, dt, checksum):
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (RB_, 128), 1)
     rowsTR = jax.lax.broadcasted_iota(jnp.int32, (RB_, TR), 1)
-
-    def make_fire(sub_lo, sub_hi):
+    def make_fire(sub_lo, sub_hi, plain_only):
         KR = sub_hi - sub_lo
         rowsK = jax.lax.broadcasted_iota(jnp.int32, (RB_, KR), 1)
 
@@ -424,7 +423,6 @@ def _ring_kernel(*refs, TR, WR, RB_, NF, NFW, dt, checksum):
             b1 = splat(f1_ref)
             b2 = splat(f2_ref)
             ph = b1 & 127
-            P = ((b1 >> 7) & 127) + 1
             lo = (b1 >> 14) & 127
             lenm1 = b2 & 127
             row = (b2 >> 7) & 511
@@ -450,6 +448,17 @@ def _ring_kernel(*refs, TR, WR, RB_, NF, NFW, dt, checksum):
                 cur = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
                 new = jnp.where(scat > 0, scat - 1, cur)
                 tbl_ref[WR : WR + TR, :] = new.astype(dt)
+
+            if plain_only:
+                # Branch-free fire for tiles whose plan flags ZERO periodic
+                # records: the builder row-aligns every plain record's S, so
+                # the read (lane+ph) & 127 stays inside row rowS. Dropping
+                # the pl.when branch structure measured ~0.34 us/fire
+                # (experiments/fire_ablate5.py).
+                tail(jnp.take_along_axis(A, (lane + ph) & 127, axis=1))
+                return carry
+
+            P = ((b1 >> 7) & 127) + 1
 
             # Fires holding a periodic (P<128) record are flagged in the
             # plan's fper bitmask and pay the pair-pull + %P vector-division
@@ -481,7 +490,19 @@ def _ring_kernel(*refs, TR, WR, RB_, NF, NFW, dt, checksum):
 
         return fire
 
-    jax.lax.fori_loop(0, nft_ref[b], make_fire(0, WR + TR), 0)
+    # Tiles with zero periodic fires (the common case on most content) run
+    # a branch-free fire loop; the fper bitmask drives the per-TILE switch.
+    anyper = fp_ref[b * NFW]
+    for w in range(1, NFW):
+        anyper = anyper | fp_ref[b * NFW + w]
+
+    @pl.when(anyper == 0)
+    def _clean_tile():
+        jax.lax.fori_loop(0, nft_ref[b], make_fire(0, WR + TR, True), 0)
+
+    @pl.when(anyper != 0)
+    def _mixed_tile():
+        jax.lax.fori_loop(0, nft_ref[b], make_fire(0, WR + TR, False), 0)
     tile = tbl_ref[WR : WR + TR, :].astype(jnp.int32)
     out_ref[...] = tile
     if checksum:
