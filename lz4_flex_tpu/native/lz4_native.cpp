@@ -1354,10 +1354,48 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
     }
     // raw forms (d_raw already covers the identical source ranges)
     if (off <= 128 && rel + span > off) {
-        // periodic raw record anchored at a period-aligned window
-        int32_t lo = (int32_t)(p0 & 127);
         int64_t A = m0 - off;
         if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
+        // Periodic pattern materialization: when the period window's bytes
+        // all chase to comp positions, the host builds the <=128-byte
+        // pattern and tiles it across the piece in the literal image —
+        // emitting NO record. This removes the kernel's %P vector-division
+        // path (and its per-fire branch) from every tile whose periodic
+        // content originates in literals, letting those tiles take the
+        // branch-free fire loop. out[p] == window[(p - A) mod off] because
+        // A is period-aligned to the match source.
+        if (!skip_origin && A >= c.ts) {
+            LazyRuns R;
+            R.cap = 32;
+            R.node_budget = 160;
+            lazy_chase(c, A, A + off, R);
+            if (R.ok) {
+                bool all_comp = true;
+                for (int32_t i = 0; i < R.n; i++)
+                    all_comp &= R.kind[i] == 0;
+                if (all_comp) {
+                    uint8_t pat[128];
+                    int32_t w = 0;
+                    for (int32_t i = 0; i < R.n; i++) {
+                        std::memcpy(pat + w, g.input + R.start[i],
+                                    (size_t)R.len[i]);
+                        w += R.len[i];
+                    }
+                    int64_t ph0 = (p0 - A) % off;
+                    for (int32_t k = 0; k < span;) {
+                        int32_t run = (int32_t)(off - ph0);
+                        if (run > span - k) run = span - k;
+                        std::memcpy(g.lit_init + p0 + k, pat + ph0,
+                                    (size_t)run);
+                        k += run;
+                        ph0 = 0;
+                    }
+                    return 0;  // bytes are final: depth stays 0, no record
+                }
+            }
+        }
+        // periodic raw record anchored at the period-aligned window
+        int32_t lo = (int32_t)(p0 & 127);
         int32_t ph = (int32_t)(((rel - lo) % off + off) % off);
         return ring_emit_match(c, p0, span, A, (int32_t)off, ph, A, A + off,
                                d_raw);
