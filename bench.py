@@ -311,6 +311,40 @@ def main() -> None:
     except Exception as e:
         print(f"frame ring bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Small-block latency tier: the reference's headline corpus is 66 KB
+    # JSON at 5,973 MiB/s (README.md:17-19), and the frame default block is
+    # 64 KiB. Steady-state single-block decode through the production ring
+    # path (pipelined plan + kernel, like the 10 MB headline but per-block).
+    try:
+        for tag, sdata in [
+            ("66KB JSON", pathlib.Path(
+                "/root/reference/benches/compression_66k_JSON.txt"
+            ).read_bytes()),
+            ("64KiB text", data[:65536]),
+        ]:
+            scomp = block.compress(sdata)
+            snp = np.frombuffer(scomp, np.uint8)
+            ok_s = decode_block_device(scomp, len(sdata), parse="ring") == sdata
+            splan = build_ring_plan(snp, len(sdata))
+            sarrs = [jnp.asarray(a) for a in ring_plan_device_arrays(splan)]
+            f_s = lambda: ring_decode_jit(
+                *sarrs, ntiles=sarrs[0].shape[0], nf=sarrs[3].shape[1]
+            )
+            t_sk = device_time(f_s, sync=lambda r: r[:1, :1], iters=30)
+            t_sp = median_time(
+                lambda: build_ring_plan(snp, len(sdata)), iters=40
+            )
+            t_ss = max(t_sk, t_sp)
+            print(
+                f"decode small block ({tag}, {len(sdata)} B, ratio "
+                f"{len(scomp)/len(sdata):.3f}): kernel {t_sk*1e3:.2f} ms | "
+                f"plan {t_sp*1e3:.2f} ms -> {len(sdata)/t_ss/2**20:.0f} MiB/s "
+                f"steady per block, ok={ok_s}",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"small-block bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     # ---- device encode (resident, 448 KiB chunk kernel) -------------------
     try:
         from lz4_flex_tpu.ops.encode import (
@@ -361,6 +395,8 @@ def main() -> None:
             _CHUNK_C,
             _CHUNK_W,
             _PLANE_POOL,
+            _PLANE_ROWS,
+            _PLANE_STRIDE,
             _best_plane_quad,
             _hybrid_lib,
         )
@@ -377,25 +413,26 @@ def main() -> None:
         G = np.frombuffer(data, np.uint8)
         bucket = packing.size_bucket(n + 8)
         gpad = jnp.asarray(packing.pad_to(G, bucket))
-        starts4_h = [0, _CHUNK_C, 2 * _CHUNK_C, 3 * _CHUNK_C]
+        R = _PLANE_ROWS
+        starts4_h = [i * _CHUNK_C for i in range(R)]
         starts4 = jnp.asarray(np.array(starts4_h, np.int32))
         t_q = device_time(
-            lambda: _best_plane_quad(gpad, starts4, _PLANE_POOL),
+            lambda: _best_plane_quad(gpad, starts4, _PLANE_POOL, _PLANE_STRIDE),
             sync=lambda r: r[:1, :1], iters=6,
         )
         nrows = -(-n // _CHUNK_C)
-        t_kq = t_q / 4 * nrows  # candidate kernel, whole input
-        # walk-only: re-run the native walk over one fetched quad's planes
-        quad = np.asarray(_best_plane_quad(gpad, starts4, _PLANE_POOL))
+        t_kq = t_q / R * nrows  # candidate kernel, whole input
+        # walk-only: re-run the native walk over one fetched group's planes
+        quad = np.asarray(_best_plane_quad(gpad, starts4, _PLANE_POOL, _PLANE_STRIDE))
         lib = _hybrid_lib()
         capb = len(hcomp) * 2 + 4096
         outw = np.empty(capb, np.uint8)
 
-        planes = [np.ascontiguousarray(quad[i]) for i in range(4)]
+        planes = [np.ascontiguousarray(quad[i]) for i in range(R)]
 
         def walk_once():
             state = np.zeros(3, np.int64)
-            for i in range(4):
+            for i in range(R):
                 lib.tlz4_hybrid_walk_row(
                     G.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), n,
                     planes[i].ctypes.data_as(_ct.POINTER(_ct.c_uint16)),
@@ -405,7 +442,7 @@ def main() -> None:
                     outw.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), capb, 0,
                 )
 
-        t_w = median_time(walk_once, iters=5) / 4 * nrows
+        t_w = median_time(walk_once, iters=5) / R * nrows
         t_pipe = max(t_kq, t_w)
         print(
             f"encode hybrid 10MB (pooled-plane device search + native walk): "

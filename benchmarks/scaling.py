@@ -83,8 +83,48 @@ def main():
         eff = thr / (base * nd)
         rows.append((nd, len(data), thr, eff))
 
+    print("roundtrip_step_sharded (batched encode + decode + check):")
     print(f"{'devices':>8} {'bytes':>10} {'MiB/s':>10} {'efficiency':>11}")
     for nd, nb, thr, eff in rows:
+        print(f"{nd:>8} {nb:>10} {thr:>10.1f} {eff:>10.0%}")
+
+    # Production decode path: the same scaling table over
+    # decode_blocks_sharded_ring (per-device ring plans, one shard_map
+    # dispatch of the Pallas ring kernel per mesh) — what FrameDecoder's
+    # device engine runs on independent-mode frames.
+    from lz4_flex_tpu import block as blk
+    from lz4_flex_tpu.parallel.pipeline import decode_blocks_sharded_ring
+
+    rows2 = []
+    base2 = None
+    for nd in sizes:
+        mesh = Mesh(np.asarray(devices[:nd]), (BLOCK_AXIS,))
+        nblocks = nd * args.blocks_per_device
+        data = b" ".join(
+            vocab[rng.integers(0, len(vocab))]
+            for _ in range(nblocks * args.block_size // 6)
+        )[: nblocks * args.block_size]
+        payloads = [
+            blk.compress(data[i : i + args.block_size])
+            for i in range(0, len(data), args.block_size)
+        ]
+        out = decode_blocks_sharded_ring(payloads, args.block_size, mesh=mesh)
+        assert out is not None and b"".join(out) == data
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = decode_blocks_sharded_ring(
+                payloads, args.block_size, mesh=mesh
+            )
+        dt = (time.perf_counter() - t0) / args.iters
+        thr = len(data) / dt / 2**20
+        if base2 is None:
+            base2 = thr
+        rows2.append((nd, len(data), thr, thr / (base2 * nd)))
+
+    print()
+    print("decode_blocks_sharded_ring (production ring decode):")
+    print(f"{'devices':>8} {'bytes':>10} {'MiB/s':>10} {'efficiency':>11}")
+    for nd, nb, thr, eff in rows2:
         print(f"{nd:>8} {nb:>10} {thr:>10.1f} {eff:>10.0%}")
 
 

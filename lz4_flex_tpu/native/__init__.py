@@ -37,8 +37,12 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 def _build() -> str:
     if os.environ.get("TLZ4_NO_NATIVE"):
         raise RuntimeError("native engine disabled by TLZ4_NO_NATIVE")
+    # TLZ4_CXXFLAGS appends extra compile flags (e.g. the CI sanitizer job
+    # passes "-fsanitize=address,undefined -fno-sanitize-recover=all");
+    # the cache tag covers them so sanitized/plain builds coexist.
+    extra = os.environ.get("TLZ4_CXXFLAGS", "").split()
     with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        tag = hashlib.sha256(f.read() + " ".join(extra).encode()).hexdigest()[:16]
     so_path = os.path.join(_HERE, f"lz4_native_{tag}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp.{os.getpid()}"
@@ -46,7 +50,7 @@ def _build() -> str:
             [
                 "g++", "-O3", "-march=native", "-funroll-loops", "-shared",
                 "-fPIC", "-fvisibility=hidden", "-std=c++17", "-pthread",
-                _SRC, "-o", tmp,
+                *extra, _SRC, "-o", tmp,
             ],
             check=True,
             capture_output=True,

@@ -225,11 +225,15 @@ def emit_core(
     nseq: jnp.ndarray,  # () int32
     *,
     comp_pad: int,
+    real: jnp.ndarray | None = None,  # bool mask overriding `seq_i < nseq`
+    #   (the resident multi-chunk path emits a STACKED per-chunk table with
+    #   gaps — live slots are wherever the mask says, order by flat index)
 ):
     """Stage 5: serialize a (merged) sequence table to LZ4 wire bytes."""
     nseq_pad = s_ll.shape[0]
     seq_i = jnp.arange(nseq_pad, dtype=jnp.int32)
-    real = seq_i < nseq
+    if real is None:
+        real = seq_i < nseq
 
     def lsic_n(v):
         return jnp.where(v >= 15, (v - 15) // 255 + 1, 0)
@@ -316,7 +320,7 @@ _candidates_kernel = jax.jit(candidates_core)
 _candidates_batch = jax.jit(jax.vmap(candidates_core))
 
 
-def best_plane_core(u8, pool: int = 2):
+def best_plane_core(u8, pool: int = 2, stride: int = 1):
     """Stage 1 + on-device selection for the streaming hybrid encoder: the
     best of the 4 closest previous occurrences of each position's word,
     ``pool``:1 max-pooled to one u16 back-distance per position group
@@ -338,6 +342,7 @@ def best_plane_core(u8, pool: int = 2):
     scatter returns to position order: 7.3 -> 3.6 ms/chunk.
     """
     pad = u8.shape[0]
+    m = pad // stride
     pos = jnp.arange(pad, dtype=jnp.int32)
     u = u8.astype(jnp.uint32)
     w4 = u | (_shift_read(u, 1) << 8) | (_shift_read(u, 2) << 16) | (
@@ -345,11 +350,23 @@ def best_plane_core(u8, pool: int = 2):
     )
     w4p4 = _shift_read(w4, 4)
     w4p8 = _shift_read(w4, 8)
+    # stride > 1 anchors candidates at every stride-th position only: the
+    # sort (the kernel's floor cost) shrinks by that factor. The host walk
+    # probes every pooled GROUP and re-extends exactly — and backward
+    # extension recovers bytes a coarser anchor skipped — so sparser
+    # anchors trade a little ratio for kernel throughput, like the
+    # reference's skip acceleration trades ratio for speed
+    # (lz4_flex src/block/compress.rs:367-378).
+    if stride > 1:
+        sub = lambda a: a.reshape(m, stride)[:, 0]
+        w4s, poss, p4s, p8s = sub(w4), sub(pos), sub(w4p4), sub(w4p8)
+    else:
+        w4s, poss, p4s, p8s = w4, pos, w4p4, w4p8
     sw, sp, s4, s8 = jax.lax.sort(
-        (w4, pos.astype(jnp.uint32), w4p4, w4p8), num_keys=2
+        (w4s, poss.astype(jnp.uint32), p4s, p8s), num_keys=2
     )
     spi = sp.astype(jnp.int32)
-    best = jnp.zeros(pad, jnp.int32)
+    best = jnp.zeros(m, jnp.int32)
     # 16 closest candidates: the sorted-domain select loop is nearly free
     # (measured +5% kernel over 4 candidates for -4.8% compressed size on
     # the 10 MB text corpus; 24 candidates only bought a further -0.4% for
@@ -359,15 +376,18 @@ def best_plane_core(u8, pool: int = 2):
         prev = jnp.concatenate([jnp.zeros(j, jnp.int32), spi[:-j]])
         c4 = jnp.concatenate([jnp.zeros(j, jnp.uint32), s4[:-j]])
         c8 = jnp.concatenate([jnp.zeros(j, jnp.uint32), s8[:-j]])
-        delta = spi - prev
+        delta = spi - prev  # spi holds true positions
         ok = same & (delta <= 65535)
         e1 = (c4 == s4).astype(jnp.int32)
         e2 = ((c8 == s8) & (c4 == s4)).astype(jnp.int32)
         score = 4 + 4 * e1 + 4 * e2
         packed = jnp.where(ok, (score << 16) | (65536 - delta), 0)
         best = jnp.maximum(best, packed)
-    plane = jnp.zeros(pad, jnp.int32).at[spi].set(best)
-    w = jnp.max(plane.reshape(pad // pool, pool), axis=1)
+    # position-domain return: one unique-index scatter (strided domain:
+    # spi holds true positions, the plane slot is spi // stride), then pool
+    # by reshape-max (stride must divide pool)
+    plane = jnp.zeros(m, jnp.int32).at[spi // stride if stride > 1 else spi].set(best)
+    w = jnp.max(plane.reshape(pad // pool, pool // stride), axis=1)
     return jnp.where(w > 0, 65536 - (w & 0xFFFF), 0).astype(jnp.uint16)
 
 
@@ -375,21 +395,28 @@ def best_plane_core(u8, pool: int = 2):
 # candidate kernel (measured: 12 MiB plane @ ~14 MiB/s tunnel dominated the
 # pipeline; the host walk re-extends exactly, so pooling only costs ratio).
 _PLANE_POOL = 4
+# stride-2 anchors would run the sort on half the positions, but measured
+# only ~4% kernel (the sort is not the bound; w4-plane construction and the
+# select loop are) for a 17% ratio loss on the 10 MB text corpus — default
+# stays exact (stride=1); the parameter remains for experiments.
+_PLANE_STRIDE = 1
+_PLANE_ROWS = 8  # chunk rows per dispatch (per-dispatch RPC latency)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _best_plane_quad(gpad, starts4, pool=_PLANE_POOL):
-    """Four chunk rows' pooled planes in one launch, rows built on-device by
-    slicing the resident stream — the only h2d is the stream itself, and
-    each dispatch/d2h RPC carries 4 rows (per-call latency on a remote
-    device dominates otherwise). The four rows are UNROLLED, not vmapped:
-    a vmap'd batched sort was measured 27% slower per chunk than four
-    sequential single-chunk sorts inside one XLA program."""
+@partial(jax.jit, static_argnums=(2, 3))
+def _best_plane_quad(gpad, starts, pool=_PLANE_POOL, stride=_PLANE_STRIDE):
+    """A group of chunk rows' pooled planes in one launch, rows built
+    on-device by slicing the resident stream — the only h2d is the stream
+    itself, and each dispatch/d2h RPC carries ``starts.shape[0]`` rows
+    (per-call latency on a remote device dominates otherwise). Rows are
+    UNROLLED, not vmapped: a vmap'd batched sort was measured 27% slower
+    per chunk than sequential single-chunk sorts inside one XLA program."""
     rows = [
         best_plane_core(
-            jax.lax.dynamic_slice(gpad, (starts4[i],), (_CHUNK_W,)), pool
+            jax.lax.dynamic_slice(gpad, (starts[i],), (_CHUNK_W,)), pool,
+            stride,
         )
-        for i in range(4)
+        for i in range(starts.shape[0])
     ]
     return jnp.stack(rows)
 
@@ -426,6 +453,63 @@ def _row_bucket(b: int) -> int:
 def _match_batch(rows, dlen, tlen, *, levels, nseq_pad):
     f = partial(match_core, levels=levels, nseq_pad=nseq_pad)
     return jax.vmap(f)(rows, dlen, tlen)
+
+
+@partial(jax.jit, static_argnames=("levels", "nseq_pad"))
+def _match_quad(gpad, starts4, d4, t4, *, levels, nseq_pad):
+    """Four chunk rows per dispatch, sliced on-device from the RESIDENT
+    stream (each row's dictionary is simply the preceding 64 KiB of the
+    stream — no host row assembly, no per-row h2d). Rows are UNROLLED, not
+    vmapped: a vmap-batched sort measured 27% slower than four sequential
+    sorts in one XLA program (see _best_plane_quad)."""
+    outs = [
+        match_core(
+            jax.lax.dynamic_slice(gpad, (starts4[i],), (_CHUNK_W,)),
+            d4[i], t4[i], levels=levels, nseq_pad=nseq_pad,
+        )
+        for i in range(4)
+    ]
+    return tuple(jnp.stack([o[k] for o in outs]) for k in range(6))
+
+
+@partial(jax.jit, static_argnames=("comp_pad",))
+def _merge_emit(words, ll, ls, off, ml, nm_dev, g_dev, carry_vec,
+                final_carry, n_data, *, comp_pad):
+    """Device-side table merge + emission for the resident multi-chunk
+    encoder: the per-chunk compacted tables stay STACKED (brows, nseq_pad)
+    with their pad gaps — live slots are masked, flat order == stream order
+    — so merging is elementwise (global rebase + slot-0 carry fixups +
+    one appended final-literal sequence) with no compaction scatter, and
+    the only host<->device traffic in the whole encode is the per-chunk
+    (nm, last_end) scalars down and the wire bytes out."""
+    brows, nseq_pad = ll.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (brows, nseq_pad), 1)
+    real = (slot < nm_dev[:, None]).reshape(-1)
+    ls_g = (ls + g_dev[:, None]).reshape(-1)
+    ll_f = ll.reshape(-1)
+    # Slot-0 carry fixups: each chunk's first sequence absorbs the carried
+    # literal run (rows whose nm == 0 are fixed too — their slot 0 is not
+    # live, so the write is harmless).
+    fix = jnp.arange(brows, dtype=jnp.int32) * nseq_pad
+    m0 = ls_g[fix] + ll_f[fix]
+    ll_f = ll_f.at[fix].set(m0 - carry_vec)
+    ls_g = ls_g.at[fix].set(carry_vec)
+    # Final literal-only sequence rides an appended pad block (slot 0 live).
+    tail_i = jnp.arange(256, dtype=jnp.int32)
+    ll_f = jnp.concatenate([ll_f, jnp.where(tail_i == 0, n_data - final_carry, 0)])
+    ls_g = jnp.concatenate([ls_g, jnp.where(tail_i == 0, final_carry, 0)])
+    off_f = jnp.concatenate([off.reshape(-1), jnp.full(256, 1, jnp.int32)])
+    mlc_f = jnp.concatenate(
+        [jnp.clip(ml.reshape(-1) - 4, 0, None), jnp.zeros(256, jnp.int32)]
+    )
+    match_f = jnp.concatenate(
+        [real.astype(jnp.int32), jnp.zeros(256, jnp.int32)]
+    )
+    real_f = jnp.concatenate([real, tail_i == 0])
+    return emit_core(
+        words, ll_f, ls_g, off_f, mlc_f, match_f, jnp.int32(0),
+        comp_pad=comp_pad, real=real_f,
+    )
 
 
 @dataclass
@@ -596,12 +680,14 @@ def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
         s = 0 if i == 0 else dlen + base - WINDOW_SIZE
         starts.append(min(s, bucket - _CHUNK_W))
         limits.append(dlen + min(base + _CHUNK_C, n_data))
-    nquads = -(-nrows // 4)
+    R = _PLANE_ROWS
+    nquads = -(-nrows // R)
     qstarts = np.array(
-        starts + [starts[-1]] * (4 * nquads - nrows), np.int32
-    ).reshape(nquads, 4)
+        starts + [starts[-1]] * (R * nquads - nrows), np.int32
+    ).reshape(nquads, R)
     quads = [
-        _best_plane_quad(gpad, jnp.asarray(q), _PLANE_POOL) for q in qstarts
+        _best_plane_quad(gpad, jnp.asarray(q), _PLANE_POOL, _PLANE_STRIDE)
+        for q in qstarts
     ]
 
     cap = get_maximum_output_size(n_data)
@@ -619,8 +705,8 @@ def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
             quad = fut.result()
             if q + 1 < nquads:
                 fut = ex.submit(np.asarray, quads[q + 1])
-            for i in range(4 * q, min(4 * q + 4, nrows)):
-                plane = np.ascontiguousarray(quad[i - 4 * q])
+            for i in range(R * q, min(R * q + R, nrows)):
+                plane = np.ascontiguousarray(quad[i - R * q])
                 rc = lib.tlz4_hybrid_walk_row(
                     G.ctypes.data_as(u8p), g_len,
                     plane.ctypes.data_as(u16p),
@@ -660,68 +746,25 @@ def compress_block_device(
     dlen = int(dic.shape[0])
     n_data = int(src.shape[0])
 
-    chunks = []
-    if n_data + dlen + 4 <= _CHUNK_W:
-        # Single chunk at a per-size bucket.
-        buf = np.concatenate([dic, src]) if dlen else src
-        pad = packing.size_bucket(max(buf.shape[0] + 4, 8))
-        nseq_pad = packing.size_bucket(max(8, pad // 4 + 2), minimum=256)
-        res = _match_kernel(
-            jnp.asarray(packing.pad_to(buf, pad)),
-            jnp.int32(dlen),
-            jnp.int32(buf.shape[0]),
-            levels=_levels_for(pad),
-            nseq_pad=nseq_pad,
+    if n_data + dlen + 4 > _CHUNK_W:
+        out, total_comp = _compress_device_resident(src, dic)
+        return _finish_device_block(
+            out, total_comp, src, dic, verify=verify, as_array=as_array
         )
-        ll, ls, off, ml, nm, last_end = (np.asarray(x) for x in res)
-        chunks.append((ll, ls, off, ml, nm, last_end, dlen, 0))
-    else:
-        # Fixed-width rows: [dict (<= 64 KiB) | data chunk | zero slack].
-        # Row count is bucketed so the batched kernel compiles per bucket,
-        # not per input size.
-        nrows = -(-n_data // _CHUNK_C)
-        brows = _row_bucket(nrows)
-        rows_np = np.zeros((brows, _CHUNK_W), np.uint8)
-        dvec = np.zeros(brows, np.int32)
-        tvec = np.zeros(brows, np.int32)
-        meta = []
-        for i in range(nrows):
-            base = i * _CHUNK_C
-            blk = src[base : base + _CHUNK_C]
-            if i == 0:
-                dd = dic
-            else:
-                dd = src[max(0, base - WINDOW_SIZE) : base]
-            rows_np[i, : dd.shape[0]] = dd
-            rows_np[i, dd.shape[0] : dd.shape[0] + blk.shape[0]] = blk
-            dvec[i] = dd.shape[0]
-            tvec[i] = dd.shape[0] + blk.shape[0]
-            meta.append((dd.shape[0], base))
-        nseq_pad = packing.size_bucket(_CHUNK_W // 4 + 2, minimum=256)
-        ll, ls, off, ml, nm, last_end = _match_batch(
-            jnp.asarray(rows_np),
-            jnp.asarray(dvec),
-            jnp.asarray(tvec),
-            levels=_levels_for(_CHUNK_W),
-            nseq_pad=nseq_pad,
-        )
-        nm_h = np.asarray(nm)
-        le_h = np.asarray(last_end)
-        for i in range(nrows):
-            k = int(nm_h[i])
-            chunks.append(
-                (
-                    np.asarray(ll[i, :k]),
-                    np.asarray(ls[i, :k]),
-                    np.asarray(off[i, :k]),
-                    np.asarray(ml[i, :k]),
-                    k,
-                    int(le_h[i]),
-                    meta[i][0],
-                    meta[i][1],
-                )
-            )
 
+    # Single chunk at a per-size bucket.
+    buf = np.concatenate([dic, src]) if dlen else src
+    pad = packing.size_bucket(max(buf.shape[0] + 4, 8))
+    nseq_pad = packing.size_bucket(max(8, pad // 4 + 2), minimum=256)
+    res = _match_kernel(
+        jnp.asarray(packing.pad_to(buf, pad)),
+        jnp.int32(dlen),
+        jnp.int32(buf.shape[0]),
+        levels=_levels_for(pad),
+        nseq_pad=nseq_pad,
+    )
+    ll, ls, off, ml, nm, last_end = (np.asarray(x) for x in res)
+    chunks = [(ll, ls, off, ml, nm, last_end, dlen, 0)]
     merged = _merge_tables(chunks, n_data)
     comp_pad = packing.size_bucket(get_maximum_output_size(n_data))
     nseq_pad_g = packing.size_bucket(max(8, merged.nseq), minimum=256)
@@ -736,6 +779,78 @@ def compress_block_device(
         jnp.int32(merged.nseq),
         comp_pad=comp_pad,
     )
+    return _finish_device_block(
+        out, total_comp, src, dic, verify=verify, as_array=as_array
+    )
+
+
+def _compress_device_resident(src: np.ndarray, dic: np.ndarray):
+    """Resident multi-chunk device encode: h2d the stream once, slice chunk
+    rows on-device, match per quad dispatch, merge + emit on device
+    (_merge_emit). The only d2h before the wire bytes is one (nm, last_end)
+    int32 pair per 508 KiB chunk — this is what replaced the per-chunk
+    table fetches that capped the previous all-device encoder at ~1 MiB/s
+    on the dev tunnel."""
+    dlen = int(dic.shape[0])
+    n_data = int(src.shape[0])
+    nrows = -(-n_data // _CHUNK_C)
+    brows = _row_bucket(nrows)
+    nq = -(-brows // 4)
+
+    G = np.concatenate([dic, src]) if dlen else src
+    glen = G.shape[0]
+    gpad_n = packing.size_bucket(glen + _CHUNK_W)
+    gpad = jnp.asarray(packing.pad_to(G, gpad_n))
+    words = jnp.asarray(packing.pad_to(src, packing.size_bucket(max(n_data, 4))).view("<u4"))
+
+    starts = np.zeros(4 * nq, np.int32)
+    d4 = np.zeros(4 * nq, np.int32)
+    t4 = np.zeros(4 * nq, np.int32)
+    g4 = np.zeros(4 * nq, np.int32)
+    for i in range(nrows):
+        base = dlen + i * _CHUNK_C              # chunk data start in G
+        d_i = min(WINDOW_SIZE, base)
+        clen = min(_CHUNK_C, n_data - i * _CHUNK_C)
+        starts[i] = base - d_i
+        d4[i] = d_i
+        t4[i] = d_i + clen
+        g4[i] = base - dlen - d_i               # chunk coord -> data coord
+    nseq_pad = packing.size_bucket(_CHUNK_W // 4 + 2, minimum=256)
+    levels = _levels_for(_CHUNK_W)
+
+    quads = []
+    for q in range(nq):
+        sl = slice(4 * q, 4 * q + 4)
+        quads.append(
+            _match_quad(
+                gpad, jnp.asarray(starts[sl]), jnp.asarray(d4[sl]),
+                jnp.asarray(t4[sl]), levels=levels, nseq_pad=nseq_pad,
+            )
+        )
+    ll, ls, off, ml, nm, last_end = (
+        jnp.concatenate([qd[k] for qd in quads]) for k in range(6)
+    )
+    # host scalar fetch: per-chunk match count + trailing-literal start
+    nm_h = np.asarray(nm)
+    le_h = np.asarray(last_end)
+    carry_vec = np.zeros(4 * nq, np.int32)
+    carry = 0
+    for i in range(4 * nq):
+        carry_vec[i] = carry
+        if i < nrows and nm_h[i] > 0:
+            carry = int(le_h[i]) + int(g4[i])
+    comp_pad = packing.size_bucket(get_maximum_output_size(n_data))
+    return _merge_emit(
+        words, ll, ls, off, ml,
+        jnp.asarray(nm_h) * jnp.asarray((np.arange(4 * nq) < nrows).astype(np.int32)),
+        jnp.asarray(g4), jnp.asarray(carry_vec),
+        jnp.int32(carry), jnp.int32(n_data), comp_pad=comp_pad,
+    )
+
+
+def _finish_device_block(out, total_comp, src, dic, *, verify, as_array):
+    n_data = int(src.shape[0])
+    dlen = int(dic.shape[0])
     total = int(total_comp)
     if as_array and not verify:
         return out, total
