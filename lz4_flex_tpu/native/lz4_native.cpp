@@ -708,6 +708,9 @@ bool hard_groups = false;
 // are byte-identical across pool generations (debug/diffing only — decoded
 // output is exact either way)
 bool deterministic_fill = false;
+// TLZ4_NO_MAT=1: disable the known-source materialization fast paths
+// (A/B: materialization trades host memcpy time for kernel fires)
+bool no_mat = false;
 
 // TLZ4_PLAN_PROF per-stage accumulators (ns / record counts).
 bool prof_on = false;
@@ -885,10 +888,23 @@ struct RingTile {
     // literal fragment whose byte at x is input[pval[i] + (x - ppos[i])];
     // pval[i] < 0 is a match piece with offset -pval[i] (byte at x copies
     // x + pval[i]). Entries are appended in output order by the seq loop,
-    // and every in-tile byte below the emit cursor is covered.
+    // and every in-tile byte below the emit cursor is covered. rowidx[r]
+    // is the index of the first entry at output row >= r (filled through
+    // filled_row), bounding each chase lookup to one row's entries.
     std::vector<int32_t>* ppos;
     std::vector<int32_t>* pval;
+    std::vector<int32_t>* rowidx;
+    int32_t filled_row = -1;
 };
+
+inline void idx_push(RingTile& c, int32_t p, int32_t v) {
+    int32_t rp = (int32_t)(((int64_t)p - c.ts) >> 7);
+    int32_t n = (int32_t)c.ppos->size();
+    for (int32_t r = c.filled_row + 1; r <= rp; r++) (*c.rowidx)[r] = n;
+    if (rp > c.filled_row) c.filled_row = rp;
+    c.ppos->push_back(p);
+    c.pval->push_back(v);
+}
 
 // Lazy chase: resolve a source span into <= cap affine runs over comp
 // positions (literal origins) or pre-tile ring positions, by recursing
@@ -932,21 +948,18 @@ static void lazy_chase(const RingTile& c, int64_t lo, int64_t hi,
     }
     const std::vector<int32_t>& pos = *c.ppos;
     const std::vector<int32_t>& val = *c.pval;
-    // last entry with pos <= lo (coverage guarantees pos[0] == ts <= lo).
-    // Chase targets cluster near the emit cursor (small offsets dominate),
-    // so probe a short tail walk first; fall back to binary search.
-    size_t i, n = pos.size();
-    if (n >= 8 && (int64_t)pos[n - 8] <= lo) {
-        i = n - 1;
-        while ((int64_t)pos[i] > lo) i--;
-    } else {
-        size_t a = 0, b = n;
-        while (a < b) {
-            size_t m = (a + b) / 2;
-            if ((int64_t)pos[m] <= lo) a = m + 1; else b = m;
-        }
-        i = a - 1;
+    // last entry with pos <= lo (coverage guarantees pos[0] == ts <= lo):
+    // the row index bounds the search to one output row's entries.
+    size_t n = pos.size();
+    int32_t r = (int32_t)((lo - c.ts) >> 7);
+    const std::vector<int32_t>& ri = *c.rowidx;
+    size_t a = r <= c.filled_row ? (size_t)(ri[r] > 0 ? ri[r] - 1 : 0) : n - 1;
+    size_t b = r < c.filled_row ? (size_t)ri[r + 1] : n;
+    while (a < b) {
+        size_t m = (a + b) / 2;
+        if ((int64_t)pos[m] <= lo) a = m + 1; else b = m;
     }
+    size_t i = a - 1;
     while (lo < hi) {
         if (++R.nodes > R.node_budget) { R.ok = false; return; }
         int64_t e_end = (i + 1 < pos.size()) ? (int64_t)pos[i + 1] : c.te;
@@ -1230,6 +1243,12 @@ inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
 // Match record: dst lanes [lo, lo+len) of p0's row read ring byte
 // S_out + ((l+ph) mod P), S_out in OUTPUT space (converted to table-local
 // here). Distinct sources [src_lo, src_hi) drive the depth.
+//
+// DEPTH CONVENTION (round 4): every record carries depth >= 1, so a
+// depth-0 byte means "final in the literal image" (literal, resolved run,
+// or host-materialized match bytes). That makes knownness testable with
+// the same SIMD range-max the group ordering already uses — the
+// materialization fast paths below hinge on it.
 inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
                            int32_t P, int32_t ph, int64_t src_lo,
                            int64_t src_hi, int32_t d_pre = -1) {
@@ -1245,9 +1264,10 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
         if (lo_s < src_hi && !skip_scan)
             d = (int32_t)depth_range_max(g.depth, lo_s, src_hi) + 1;
     }
+    if (d < 1) d = 1;  // ring-only sources: no ordering constraint, but the
+                       // written bytes are NOT final in the literal image
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
-    // d == 0 is already the pre-zeroed value; only nonzero depths write
-    if (d && !skip_set) depth_fill(g.depth, p0, len, (uint8_t)d, c.te);
+    if (!skip_set) depth_fill(g.depth, p0, len, (uint8_t)d, c.te);
     ring_push(c, p0, len, S_local, P, ph, d);
     return 0;
 }
@@ -1258,6 +1278,24 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
 // ring_base is row-aligned, so S never undershoots the ring.
 inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0,
                            int32_t d_pre = -1) {
+    const RingShared& gg = *c.g;
+    // Known-source materialization: when the whole source span is in-tile
+    // and depth-0 (final bytes in the literal image — literals, resolved
+    // runs, or earlier materializations), the host copies the bytes
+    // directly and emits NOTHING. Literal-rooted match chains collapse
+    // into memcpys level by level (each materialization keeps depth 0, so
+    // readers of these bytes materialize too); only ring-rooted content
+    // still becomes kernel records. Non-wrapping pieces only (callers
+    // guarantee span <= off here), so the copy is overlap-free.
+    if (s0 >= c.ts && !skip_scan && !skip_origin && !no_mat) {
+        int32_t dmax = d_pre >= 0
+                           ? d_pre - 1
+                           : (int32_t)depth_range_max(gg.depth, s0, s0 + span);
+        if (dmax == 0) {
+            std::memcpy(gg.lit_init + p0, gg.lit_init + s0, (size_t)span);
+            return 0;
+        }
+    }
     int64_t k = 0;
     while (k < span) {
         int64_t s = s0 + k;
@@ -1334,21 +1372,16 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
             for (int32_t i = 0; i < R.n; i++) {
                 int rc_;
                 if (R.kind[i] == 0) {
-                    c.ppos->push_back((int32_t)p);
-                    c.pval->push_back((int32_t)R.start[i]);
+                    idx_push(c, (int32_t)p, (int32_t)R.start[i]);
                     rc_ = ring_emit_lit(c, p, R.len[i], R.start[i]);
                 } else {
-                    c.ppos->push_back((int32_t)p);
-                    c.pval->push_back((int32_t)-(p - R.start[i]));
+                    idx_push(c, (int32_t)p, (int32_t)-(p - R.start[i]));
                     rc_ = ring_emit_plain(c, p, R.len[i], R.start[i]);
                 }
                 if (rc_) return rc_;
                 p += R.len[i];
             }
-            if (p < c.te) {
-                c.ppos->push_back((int32_t)p);
-                c.pval->push_back((int32_t)-off);
-            }
+            if (p < c.te) idx_push(c, (int32_t)p, (int32_t)-off);
             return 0;
         }
     }
@@ -1356,6 +1389,21 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
     if (off <= 128 && rel + span > off) {
         int64_t A = m0 - off;
         if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
+        // Known-window fast path: the period window is in-tile and already
+        // final in the literal image — tile it across the piece directly.
+        if (!skip_origin && !skip_scan && !no_mat && A >= c.ts &&
+            d_raw == 1) {
+            int64_t ph0 = (p0 - A) % off;
+            for (int32_t k = 0; k < span;) {
+                int32_t run = (int32_t)(off - ph0);
+                if (run > span - k) run = span - k;
+                std::memcpy(g.lit_init + p0 + k, g.lit_init + A + ph0,
+                            (size_t)run);
+                k += run;
+                ph0 = 0;
+            }
+            return 0;
+        }
         // Periodic pattern materialization: when the period window's bytes
         // all chase to comp positions, the host builds the <=128-byte
         // pattern and tiles it across the piece in the literal image —
@@ -1892,7 +1940,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
     // the steady state allocates nothing.
     static thread_local RecArena arena_tls;
     static thread_local std::vector<GroupStream> gs_tls;
-    static thread_local std::vector<int32_t> ppos_tls, pval_tls;
+    static thread_local std::vector<int32_t> ppos_tls, pval_tls, rowidx_tls;
     RingTile c;
     c.g = &g;
     c.t = t;
@@ -1900,10 +1948,14 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
     gs_tls.clear();
     ppos_tls.clear();
     pval_tls.clear();
+    if ((int32_t)rowidx_tls.size() < g.tile_rows + 1)
+        rowidx_tls.resize(g.tile_rows + 1);
     c.arena = &arena_tls;
     c.gs = &gs_tls;
     c.ppos = &ppos_tls;
     c.pval = &pval_tls;
+    c.rowidx = &rowidx_tls;
+    c.filled_row = -1;
     c.tbase = (int64_t)t * g.rb * g.nfmax;
     c.row_mask = (g.tile_rows & (g.tile_rows - 1)) == 0 ? g.tile_rows - 1 : 0;
     c.ts = ((int64_t)t * g.tile_rows) << 7;
@@ -1956,8 +2008,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
         int64_t pe = l1 < c.te ? l1 : c.te;
         if (p < pe) {
             int64_t csrc = q.lit_start + (p - q.out_off);
-            c.ppos->push_back((int32_t)p);
-            c.pval->push_back((int32_t)csrc);
+            idx_push(c, (int32_t)p, (int32_t)csrc);
             if (int rc_ = ring_emit_lit_frag(c, p, pe, csrc)) return rc_;
         }
         if (q.match_len <= 0) continue;
@@ -1977,8 +2028,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
             std::memset(g.lit_init + mp, 0, (size_t)(me - mp));
         // Index the match for the lazy chase (one entry per match, not per
         // row-piece: fewer entries, fewer recursion splits).
-        c.ppos->push_back((int32_t)mp);
-        c.pval->push_back((int32_t)-off);
+        idx_push(c, (int32_t)mp, (int32_t)-off);
         int64_t pp = mp, rem = me - mp;
         while (rem > 0) {
             int32_t span = (int32_t)(128 - (pp & 127));
@@ -2044,6 +2094,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     {
         hard_groups = std::getenv("TLZ4_HARD_GROUPS") != nullptr;
         deterministic_fill = std::getenv("TLZ4_DETERMINISTIC") != nullptr;
+        no_mat = std::getenv("TLZ4_NO_MAT") != nullptr;
     }
     if (prof) {
         prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);

@@ -64,11 +64,11 @@ _NFMAX_LADDER = (NFMAX_ALLOC,) + NFMAX_STEPS
 _nfmax_hint = [NFMAX_ALLOC]
 # Host-side chain resolution threshold: resolving SHALLOW chains is
 # counterproductive (run-splitting adds records/fires while raw records stay
-# single, and the origin-run logic costs host CPU). Round-3 sweep across
-# text / JSON / mixed-real-file 10 MB corpora: md=8 cuts plan wall 10-20%
-# vs md=5 (33.2->28.5 text, 44.9->35.5 mixed, 21.5->21.1 JSON) for +6.7%
-# text fires (-3.7% JSON) — a net win while plans, not kernels, bind.
-RESOLVE_MIN_DEPTH = 8
+# single, and the chase logic costs host CPU). Round-4 sweep with the lazy
+# chase + known-source materialization (text/mixed/JSON 10 MB, interleaved
+# min-of-3): rmd=10 beats 8 by ~2 ms plan wall at +15% fires — a net win
+# while plans, not kernels, bind (kernel is ~5.4 ms vs plan ~14).
+RESOLVE_MIN_DEPTH = 10
 # 16 (was 6): letting deep pieces resolve into more affine runs removes
 # most of the nearly-empty depth>=8 fire groups — text fires 6939 -> 6821
 # with soft fire boundaries, kernel 13.8 -> 13.4 ms at hard ones (measured
