@@ -1485,6 +1485,20 @@ struct RingWatermark {
     std::atomic<int32_t> done{0};  // parser finished (any outcome)
 };
 
+// An adopted span of one speculative walk's sequence buffer, consumed IN
+// PLACE by tile workers. The former assembly pass copied ~16 MB of RingSeq
+// per 10 MB plan just to rebase out_off and validate positions; the rebase
+// is now done at read time (out_off + delta) and each sequence is
+// validated by the tile that owns its start position.
+struct SeqView {
+    const RingSeq* s;   // first adopted sequence
+    int64_t n;          // adopted count
+    int64_t delta;      // local out_off + delta == global out_off
+    int64_t obase;      // independent-mode floor for offset validation
+    int64_t gout0;      // global out_off of s[0] (search key)
+    uint8_t validated;  // serial parse already validated positions
+};
+
 int64_t ring_parse_blocks(
     const uint8_t* input, size_t input_len,
     const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
@@ -1725,15 +1739,19 @@ struct SeqBuf {
     }
 };
 
-// Returns nseq (>=0: *seqs_out/*total_out valid) or a TLZ4_ERR_* code.
+// Returns nseq (>=0: *views_out/*total_out valid) or a TLZ4_ERR_* code.
+// The returned views alias thread_local walk buffers (items_tls /
+// rewalks_tls) that stay valid until this thread's next parse call.
 int64_t ring_parse_parallel(
     const uint8_t* input, size_t input_len,
     const int64_t* blk_off, const int64_t* blk_len, const uint8_t* blk_store,
     int32_t nblocks, int32_t independent, int64_t expected_out,
-    const RingSeq** seqs_out, int64_t* total_out, int32_t nth)
+    const SeqView** views_out, size_t* nviews_out, int64_t* total_out,
+    int32_t nth)
 {
     static thread_local std::vector<ParseItem> items_tls;
-    static thread_local SeqBuf seqbuf_tls;
+    static thread_local std::deque<ParseItem> rewalks_tls;
+    static thread_local std::vector<SeqView> views_tls;
     constexpr int64_t MIN_SEG = 256 * 1024;
 
     for (int32_t b = 0; b < nblocks; b++)
@@ -1797,13 +1815,12 @@ int64_t ring_parse_parallel(
     }
 
     auto pp1 = std::chrono::steady_clock::now();
-    // Serial stitch: chain the authoritative walk through the segments.
-    struct Splice {
-        const ParseItem* it;
-        int64_t k, delta, obase, gseq0;
-    };
-    std::vector<Splice> splices;
-    std::deque<ParseItem> rewalks;  // stable addresses for fallback walks
+    // Serial stitch: chain the authoritative walk through the segments,
+    // emitting one SeqView per adopted span (consumed in place by tiles).
+    std::vector<SeqView>& views = views_tls;
+    views.clear();
+    std::deque<ParseItem>& rewalks = rewalks_tls;
+    rewalks.clear();
     int64_t G = 0, gseq = 0;
     for (int32_t b = 0; b < nblocks; b++) {
         const int64_t obase = independent ? G : 0;
@@ -1838,7 +1855,9 @@ int64_t ring_parse_parallel(
                 parse_segment(input, bend, rw, it, &mk);
                 if (rw.err) return rw.err;  // repair IS the true chain
                 if (!rw.seqs.empty()) {
-                    splices.push_back({&rw, 0, G, obase, gseq});
+                    views.push_back({rw.seqs.data(),
+                                     (int64_t)rw.seqs.size(), G, obase, G,
+                                     0});
                     gseq += (int64_t)rw.seqs.size();
                 }
                 G += rw.out_total;
@@ -1853,7 +1872,9 @@ int64_t ring_parse_parallel(
             int64_t local0 =
                 k < (int64_t)it->seqs.size() ? it->seqs[k].out_off : it->out_total;
             if ((int64_t)it->seqs.size() > k) {
-                splices.push_back({it, k, G - local0, obase, gseq});
+                views.push_back({it->seqs.data() + k,
+                                 (int64_t)it->seqs.size() - k, G - local0,
+                                 obase, G, 0});
                 gseq += (int64_t)it->seqs.size() - k;
             }
             G += it->out_total - local0;
@@ -1863,77 +1884,27 @@ int64_t ring_parse_parallel(
         if (!done) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;  // unreachable
     }
     *total_out = G;
-    auto pp2 = std::chrono::steady_clock::now();
-    RingSeq* out = seqbuf_tls.ensure((size_t)gseq);
-
-    // Parallel assembly: rebase out_off, run the deferred position checks.
-    struct ErrRec { int64_t code, gseq, total; };
-    std::vector<ErrRec> errs(splices.size(), {0, 0, 0});
-    {
-        std::atomic<size_t> next{0};
-        auto awork = [&]() {
-            for (;;) {
-                size_t si = next.fetch_add(1);
-                if (si >= splices.size()) break;
-                const Splice& s = splices[si];
-                const RingSeq* src = s.it->seqs.data() + s.k;
-                const int64_t n = (int64_t)s.it->seqs.size() - s.k;
-                RingSeq* dst = out + s.gseq0;
-                for (int64_t j = 0; j < n; j++) {
-                    RingSeq q = src[j];
-                    q.out_off = (int32_t)(q.out_off + s.delta);
-                    int64_t oafter = q.out_off + q.lit_len;
-                    if (oafter > expected_out) {
-                        errs[si] = {TLZ4_ERR_OUTPUT_TOO_SMALL, s.gseq0 + j,
-                                    oafter};
-                        break;
-                    }
-                    if (q.match_len > 0) {
-                        if (oafter - q.match_off < s.obase) {
-                            errs[si] = {TLZ4_ERR_OFFSET_OOB, s.gseq0 + j, 0};
-                            break;
-                        }
-                        if (oafter + q.match_len > expected_out) {
-                            errs[si] = {TLZ4_ERR_OUTPUT_TOO_SMALL, s.gseq0 + j,
-                                        oafter + q.match_len};
-                            break;
-                        }
-                    }
-                    dst[j] = q;
-                }
-            }
-        };
-        size_t pool_n = splices.size() < (size_t)nth ? splices.size() : (size_t)nth;
-        g_pool.run((int)pool_n, awork);
-    }
-    // first error in authoritative (global sequence) order wins
-    const ErrRec* first = nullptr;
-    for (const auto& e : errs)
-        if (e.code && (!first || e.gseq < first->gseq)) first = &e;
-    if (first) {
-        if (first->code == TLZ4_ERR_OUTPUT_TOO_SMALL) *total_out = first->total;
-        return first->code;
-    }
     if (prof_on) {
-        auto pp3 = std::chrono::steady_clock::now();
+        auto pp2 = std::chrono::steady_clock::now();
         std::fprintf(
             stderr,
             "[tlz4 pparse] %zu items: walk %.1f ms  stitch %.1f ms "
-            "(%zu rewalks)  assembly %.1f ms\n",
+            "(%zu rewalks, %zu views)\n",
             ni, std::chrono::duration<double, std::milli>(pp1 - pp0).count(),
             std::chrono::duration<double, std::milli>(pp2 - pp1).count(),
-            rewalks.size(),
-            std::chrono::duration<double, std::milli>(pp3 - pp2).count());
+            rewalks.size(), views.size());
     }
-    *seqs_out = out;
+    *views_out = views.data();
+    *nviews_out = views.size();
     return gseq;
 }
 
 // Pass 2, one tile: record emission (+ lazy origin chases) for [ts, te).
 // Reads g.depth and the piece index only inside the tile, so tiles are
 // independent.
-int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
-                    const RingWatermark* wm, int32_t t) {
+int ring_build_tile(const RingShared& g, const SeqView* views,
+                    size_t nviews, const RingWatermark* wm, int32_t t,
+                    int64_t* err_total) {
     auto tt0 = std::chrono::steady_clock::now();
     // Per-worker reusable stream state: chunk arena and stream headers
     // persist across tiles and calls (the pool keeps workers alive), so
@@ -1978,7 +1949,6 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
     c.ring_base = c.ts - (((int64_t)g.window_rows) << 7);
 
     // Wait for the parser to pass this tile's end before reading seqs.
-    size_t n_pub = nseq;
     if (wm) {
         int64_t te_eff = c.te < g.expected_out ? c.te : g.expected_out;
         // Sleep, don't spin: oversubscribed waiters yielding in a tight
@@ -1989,25 +1959,55 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
             std::this_thread::sleep_for(std::chrono::microseconds(50));
         if (wm->opos.load(std::memory_order_acquire) < te_eff)
             return 0;  // parse failed/short: the whole result is discarded
-        n_pub = (size_t)wm->n.load(std::memory_order_acquire);
     }
 
-    // last sequence starting at or before ts
-    size_t lo = 0, hi = n_pub;
-    while (lo < hi) {
-        size_t mid = (lo + hi) / 2;
-        if (seqs[mid].out_off <= c.ts) lo = mid + 1; else hi = mid;
+    // locate (view, seq): last sequence with global out_off <= ts
+    size_t vlo = 0, vhi = nviews;
+    while (vlo < vhi) {
+        size_t mid = (vlo + vhi) / 2;
+        if (views[mid].gout0 <= c.ts) vlo = mid + 1; else vhi = mid;
     }
-    size_t i = lo > 0 ? lo - 1 : 0;
+    size_t vi = vlo > 0 ? vlo - 1 : 0;
+    size_t i = 0;
+    if (vi < nviews) {
+        const SeqView& V0 = views[vi];
+        size_t lo = 0, hi = (size_t)V0.n;
+        while (lo < hi) {
+            size_t mid = (lo + hi) / 2;
+            if (V0.s[mid].out_off + V0.delta <= c.ts) lo = mid + 1;
+            else hi = mid;
+        }
+        i = lo > 0 ? lo - 1 : 0;
+    }
 
-    for (; i < n_pub && seqs[i].out_off < c.te; i++) {
-        const RingSeq& q = seqs[i];
-        // literal fragment [out_off, out_off+ll) from comp [lit_start, ...)
-        int64_t l1 = q.out_off + q.lit_len;
-        int64_t p = q.out_off < c.ts ? c.ts : q.out_off;
+    for (; vi < nviews; vi++, i = 0)
+    for (const SeqView& V = views[vi]; i < (size_t)V.n; i++) {
+        const RingSeq& q = V.s[i];
+        const int64_t oo = q.out_off + V.delta;
+        if (oo >= c.te) goto seqs_done;
+        // Deferred positional validation, run by the owning tile (the
+        // first tile at or after the sequence's start position).
+        if (!V.validated && oo >= c.ts) {
+            int64_t oafter = oo + q.lit_len;
+            if (oafter > g.expected_out) {
+                *err_total = oafter;
+                return TLZ4_ERR_OUTPUT_TOO_SMALL;
+            }
+            if (q.match_len > 0) {
+                if (oafter - q.match_off < V.obase)
+                    return TLZ4_ERR_OFFSET_OOB;
+                if (oafter + q.match_len > g.expected_out) {
+                    *err_total = oafter + q.match_len;
+                    return TLZ4_ERR_OUTPUT_TOO_SMALL;
+                }
+            }
+        }
+        // literal fragment [oo, oo+ll) from comp [lit_start, ...)
+        int64_t l1 = oo + q.lit_len;
+        int64_t p = oo < c.ts ? c.ts : oo;
         int64_t pe = l1 < c.te ? l1 : c.te;
         if (p < pe) {
-            int64_t csrc = q.lit_start + (p - q.out_off);
+            int64_t csrc = q.lit_start + (p - oo);
             idx_push(c, (int32_t)p, (int32_t)csrc);
             if (int rc_ = ring_emit_lit_frag(c, p, pe, csrc)) return rc_;
         }
@@ -2037,6 +2037,7 @@ int ring_build_tile(const RingShared& g, const RingSeq* seqs, size_t nseq,
             pp += span; rem -= span;
         }
     }
+seqs_done:
     if (skip_pack) { g.nf_tot[t] = 0; return 0; }
     if (prof_on) {
         auto tp = std::chrono::steady_clock::now();
@@ -2120,16 +2121,27 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
                  f0, f1, f2, nf_tot, fper, lit_init, depth};
     RingWatermark wm;
     std::atomic<int32_t> next{0};
-    std::atomic<int32_t> err{0};
-    const RingSeq* seq_ptr = nullptr;
-    size_t seq_n = 0;
+    std::atomic<int32_t> err{0};  // stop flag; details ordered by tile below
+    const SeqView* views = nullptr;
+    size_t nviews = 0;
+    // First error in TILE order wins (deterministic across thread counts:
+    // tile order == stream order for the deferred positional checks).
+    std::mutex err_mu;
+    int32_t err_tile = INT32_MAX;
+    int64_t err_code = 0, err_tot = 0;
     auto work = [&]() {
         for (;;) {
             int32_t t = next.fetch_add(1);
             if (t >= ntiles || err.load(std::memory_order_relaxed)) break;
-            if (int rc = ring_build_tile(g, seq_ptr, seq_n, &wm, t)) {
-                int32_t expected = 0;
-                err.compare_exchange_strong(expected, (int32_t)rc);
+            int64_t etot = 0;
+            if (int rc = ring_build_tile(g, views, nviews, &wm, t, &etot)) {
+                std::lock_guard<std::mutex> el(err_mu);
+                if (t < err_tile) {
+                    err_tile = t;
+                    err_code = rc;
+                    err_tot = etot;
+                }
+                err.store(1, std::memory_order_relaxed);
             }
         }
     };
@@ -2146,13 +2158,14 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     // built against it are correct either way) with done pre-published, so
     // ring_build_tile never waits.
     int64_t nseq;
+    static thread_local SeqView serial_view;
     const bool par = nth > 1 && input_len <= (size_t)INT32_MAX &&
                      (input_len >= (1u << 20) || nblocks >= 4) &&
                      !std::getenv("TLZ4_SERIAL_PARSE");
     if (par) {
         nseq = ring_parse_parallel(
             input, input_len, blk_off, blk_len, blk_store, nblocks,
-            independent, expected_out, &seq_ptr, total_out, nth);
+            independent, expected_out, &views, &nviews, total_out, nth);
     } else {
         std::vector<RingSeq>& seqs = seqs_tls;
         seqs.clear();
@@ -2164,19 +2177,24 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
         nseq = ring_parse_blocks(
             input, input_len, blk_off, blk_len, blk_store, nblocks,
             independent, expected_out, seqs, total_out, &wm);
-        seq_ptr = seqs.data();
+        // one pre-validated view over the whole serial table
+        serial_view = {seqs.data(), nseq > 0 ? nseq : 0, 0, 0, 0, 1};
+        views = &serial_view;
+        nviews = 1;
     }
     auto t1 = now();
     if (nseq < 0) return nseq;
     if (*total_out != expected_out) return nseq;  // caller raises size error
-    seq_n = (size_t)nseq;
     wm.n.store(nseq, std::memory_order_release);
     wm.opos.store(*total_out, std::memory_order_release);
     wm.done.store(1, std::memory_order_release);
 
     if (nth > ntiles) nth = ntiles;
     g_pool.run(nth, work);
-    if (int32_t rc = err.load()) return rc;
+    if (err_code) {
+        if (err_code == TLZ4_ERR_OUTPUT_TOO_SMALL) *total_out = err_tot;
+        return err_code;
+    }
     if (prof) {
         auto t2 = now();
         std::fprintf(
