@@ -27,13 +27,16 @@ all positions at once and recovers the greedy walk algebraically:
      prefix-summed into byte offsets; every output byte then computes its
      role and value independently.
 
-Large inputs are encoded as fixed-shape 512 KiB chunks, each carrying the
-previous 64 KiB as its dictionary — lossless chunking, because the LZ4
-window is 64 KiB (src/block/mod.rs:35) — and the per-chunk sequence tables
-are stitched on the host (literal runs merge across boundaries) before one
-global emission pass. Fixed chunk shapes mean the expensive match kernel
-compiles once per width, not per input size (XLA:TPU compiles large sorts
-and scans in O(n^2) time; see ops/packing.py tiled_scan).
+Large inputs are encoded as fixed-shape 512 KiB chunks sliced ON DEVICE
+from the resident stream, each chunk's dictionary simply being the
+preceding 64 KiB — lossless chunking, because the LZ4 window is 64 KiB
+(src/block/mod.rs:35). The per-chunk sequence tables are merged on device
+in their stacked layout (literal runs merge across boundaries via per-chunk
+carry fixups; see _merge_emit) before one global emission pass; only
+per-chunk (nm, last_end) scalars visit the host. Fixed chunk shapes mean
+the expensive match kernel compiles once per width, not per input size
+(XLA:TPU compiles large sorts and scans in O(n^2) time; see
+ops/packing.py tiled_scan).
 
 External dictionaries ride the same machinery: the dictionary is prepended
 in "concat space", candidates may land in it, and offsets fall out naturally
@@ -447,12 +450,6 @@ def _row_bucket(b: int) -> int:
         if rb >= b:
             return rb
     return -(-b // 256) * 256
-
-
-@partial(jax.jit, static_argnames=("levels", "nseq_pad"))
-def _match_batch(rows, dlen, tlen, *, levels, nseq_pad):
-    f = partial(match_core, levels=levels, nseq_pad=nseq_pad)
-    return jax.vmap(f)(rows, dlen, tlen)
 
 
 @partial(jax.jit, static_argnames=("levels", "nseq_pad"))
