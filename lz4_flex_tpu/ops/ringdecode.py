@@ -47,14 +47,18 @@ WINDOW_ROWS = 512  # 64 KiB LZ4 window
 RB = 256  # records per fire. Measured RB=512 SLOWER (31.4 vs 27.0 ms kernel
 #           on the 10 MB corpus): depth-group padding waste and the larger
 #           one-hot scatter outgrow the per-fire fixed cost.
-NFMAX_ALLOC = 48  # fires-per-tile first-try cap (retry ladder on overflow)
+NFMAX_ALLOC = 24  # fires-per-tile first-try cap (retry ladder on overflow)
+# 24 (was 48): known-source materialization cut per-tile fire maxima to
+# 13-15 on every 10 MB corpus tried; the smaller cap halves both the
+# record-array footprint (cache/TLB pressure on the plan builder) and the
+# kernel's per-fire splat contraction width.
 # Retry ladder instead of one jump to the hard cap: the splat matmuls
 # contract over NF, so a 160-wide plan costs ~3.3x the per-fire splat MACs
 # of a 48-wide one even when only 50 fires are used (measured: the mixed
 # real-file corpus triggered the 160 retry and ran 3.3 us/fire vs text's
 # 2.2). The ladder keeps NF tight; the last step is the hard cap
 # (overflow there -> fallback engine).
-NFMAX_STEPS = (64, 96, 160)
+NFMAX_STEPS = (32, 48, 64, 96, 160)
 NFMAX_RETRY = NFMAX_STEPS[-1]
 _NFMAX_LADDER = (NFMAX_ALLOC,) + NFMAX_STEPS
 # Adaptive starting rung: chain-heavy content overflows the 48-fire first
@@ -66,9 +70,11 @@ _nfmax_hint = [NFMAX_ALLOC]
 # counterproductive (run-splitting adds records/fires while raw records stay
 # single, and the chase logic costs host CPU). Round-4 sweep with the lazy
 # chase + known-source materialization (text/mixed/JSON 10 MB, interleaved
-# min-of-3): rmd=10 beats 8 by ~2 ms plan wall at +15% fires — a net win
-# while plans, not kernels, bind (kernel is ~5.4 ms vs plan ~14).
-RESOLVE_MIN_DEPTH = 10
+# min-of-3, quiet host): rmd=16 is neutral on text (15.1 vs 15.1 ms) and
+# clearly better on chase-heavy content (mixed 23.4 -> 19.0, JSON 16.8 ->
+# 13.9) for ~+40% fires — still kernel-underutilized, so a net win while
+# plans, not kernels, bind (kernel ~6-10 ms vs plan ~14-19).
+RESOLVE_MIN_DEPTH = 16
 # 16 (was 6): letting deep pieces resolve into more affine runs removes
 # most of the nearly-empty depth>=8 fire groups — text fires 6939 -> 6821
 # with soft fire boundaries, kernel 13.8 -> 13.4 ms at hard ones (measured
