@@ -61,6 +61,47 @@ def test_plan_sim_deep_chains():
     _plan_roundtrip(data[:300000])
 
 
+def test_plan_sim_materialization_off_matches(monkeypatch, corpus_34k):
+    # TLZ4_NO_MAT disables the known-source materialization fast paths; the
+    # decoded bytes must be identical either way (materialization moves
+    # bytes from kernel records into the literal image, never changes them)
+    # and the no-mat plan must carry at least as many fires.
+    rng = np.random.default_rng(11)
+    cases = [
+        corpus_34k * 4,
+        b"ab" * 40000 + corpus_34k[:20000] + b"a" * 40000,
+        (corpus_34k[:333] + b"z" * 77) * 300,
+        bytes(rng.integers(97, 123, 90000, dtype=np.uint8)),
+    ]
+    for data in cases:
+        comp = _u8(block.compress(data))
+        plan = build_ring_plan(comp, len(data))
+        out_mat = simulate_ring_plan(plan)
+        fires_mat = int(plan.nf_tot.sum())
+        monkeypatch.setenv("TLZ4_NO_MAT", "1")
+        plan2 = build_ring_plan(comp, len(data))
+        out_nomat = simulate_ring_plan(plan2)
+        monkeypatch.delenv("TLZ4_NO_MAT")
+        assert out_mat == data
+        assert out_nomat == data
+        assert fires_mat <= int(plan2.nf_tot.sum())
+
+
+def test_plan_sim_periodic_ring_boundary():
+    # Periodic (off <= 128) matches whose period window lands BEFORE the
+    # tile start must stay kernel records (the window is ring data the host
+    # cannot materialize); windows rooted in literals materialize. Exercise
+    # both around the 32 KiB tile boundary with several periods.
+    chunks = []
+    rng = np.random.default_rng(13)
+    for period in (1, 2, 3, 5, 31, 64, 127, 128):
+        pat = bytes(rng.integers(97, 123, period, dtype=np.uint8))
+        chunks.append(pat * (40000 // period))
+        chunks.append(bytes(rng.integers(0, 256, 700, dtype=np.uint8)))
+    data = b"".join(chunks)
+    _plan_roundtrip(data)
+
+
 def test_parts_independent_with_stored(corpus_65k):
     blocks = [corpus_65k[i : i + 16384] for i in range(0, len(corpus_65k), 16384)]
     parts = []
