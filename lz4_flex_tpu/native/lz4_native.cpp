@@ -985,6 +985,25 @@ static inline void stamp_i32(int32_t* o, int64_t p, int64_t pe, int32_t v) {
     for (; p < pe; p++) o[p] = v;
 }
 
+// Record-field copy with NON-TEMPORAL stores: the packed (ntiles, NF, RB)
+// arrays (~11 MB per 10 MB plan) are written once here and never re-read
+// on the host (they upload to the device), so streaming them past the
+// cache keeps the working set (depth, lit image, piece index) resident.
+static inline void stream_copy_i32(int32_t* dst, const int32_t* src,
+                                   int64_t n) {
+#if defined(__SSE2__)
+    int64_t k = 0;
+    // head: align dst to 16
+    while (k < n && (((uintptr_t)(dst + k)) & 15)) { dst[k] = src[k]; k++; }
+    for (; k + 4 <= n; k += 4)
+        _mm_stream_si128((__m128i*)(dst + k),
+                         _mm_loadu_si128((const __m128i*)(src + k)));
+    for (; k < n; k++) dst[k] = src[k];
+#else
+    std::memcpy(dst, src, (size_t)n * 4);
+#endif
+}
+
 // Compact batched-fire packing for one finished tile: the record stream is
 // matches by depth asc (literals never reach the kernel — they live in the
 // lit_init image). Record k of the stream lands at field arrays
@@ -1095,12 +1114,9 @@ int ring_pack_tile(RingTile& c) {
                         if (j > i) {
                             int32_t m = j - i;
                             if (k + m > cap) return TLZ4_PLAN_OVF_SLOT;
-                            std::memcpy(g.f0 + tbase + k, ch->v0 + i,
-                                        (size_t)m * 4);
-                            std::memcpy(g.f1 + tbase + k, ch->v1 + i,
-                                        (size_t)m * 4);
-                            std::memcpy(g.f2 + tbase + k, ch->v2 + i,
-                                        (size_t)m * 4);
+                            stream_copy_i32(g.f0 + tbase + k, ch->v0 + i, m);
+                            stream_copy_i32(g.f1 + tbase + k, ch->v1 + i, m);
+                            stream_copy_i32(g.f2 + tbase + k, ch->v2 + i, m);
                             for (int32_t q = i; q < j; q++) {
                                 int32_t wrow = (ch->v2[q] >> 7) & 511;
                                 W[wrow >> 6] |= 1ull << (wrow & 63);
