@@ -68,6 +68,9 @@ class FrameDecoder(io.RawIOBase):
     DEVICE_BATCH_BLOCKS = 32
     DEVICE_BATCH_BYTES = 8 * 1024 * 1024
     DEVICE_BATCH_DECODED_BYTES = 32 * 1024 * 1024
+    #: tests set this to run the pipelined ring path in Pallas interpret
+    #: mode on CPU (off-TPU the engine otherwise takes the sync fallback)
+    RING_INTERPRET = False
 
     def __init__(self, r, *, engine: str = "host", mesh=None) -> None:
         super().__init__()
@@ -83,6 +86,11 @@ class FrameDecoder(io.RawIOBase):
         self._out_pos = 0
         self._engine = engine
         self._mesh = mesh
+        # device-engine pipeline: one dispatched-but-unfetched batch
+        # (device uint8 array, total_out) — batch i's kernel runs while
+        # batch i+1's wire bytes are read and its plan is built
+        self._pending = None
+        self._parts_stash = None  # sync-path batch deferred by a flush
 
     # -- accessors ------------------------------------------------------------
 
@@ -179,6 +187,38 @@ class FrameDecoder(io.RawIOBase):
 
     # -- device engine ---------------------------------------------------------
 
+    def _flush_pending(self) -> int:
+        """Fetch and emit the dispatched-but-unfetched batch, if any."""
+        if self._pending is None:
+            return 0
+        import numpy as np
+
+        dev, total = self._pending
+        self._pending = None
+        self._parts_stash = None  # sync-path batch deferred by a flush
+        out = np.asarray(dev).reshape(-1)[:total].tobytes()
+        self._append_output(out)
+        return len(out)
+
+    def _dispatch_parts_device(self, parts, max_block_size: int):
+        """Dispatch an INDEPENDENT-mode batch on the ring engine without
+        fetching (returns (device array, total) or None to take the
+        synchronous path). The caller overlaps the next batch's wire read +
+        plan build with this batch's kernel execution — the pipelined
+        steady state the bench measures is the shape production runs."""
+        from ..ops.ringdecode import dispatch_parts_ring
+
+        try:
+            r = dispatch_parts_ring(
+                parts, independent=True, max_block_size=max_block_size,
+                interpret=self.RING_INTERPRET,
+            )
+        except DecompressError as e:
+            raise errors.DecompressionError(e) from e
+        if r is not None and isinstance(r[0], bytes):
+            return None  # empty batch: no dispatch to pipeline
+        return r
+
     def _decode_parts_device(self, parts, max_block_size: int) -> bytes:
         """Decode a batch of frame blocks on the device. Linked-mode batches
         prepend the carried 64 KiB window as a stored pseudo-block, so window
@@ -215,6 +255,12 @@ class FrameDecoder(io.RawIOBase):
         host path; only the block decompression is batched."""
         fi = self._frame_info
         max_block_size = fi.block_size.get_size()
+        if self._parts_stash is not None:
+            parts, mbs = self._parts_stash
+            self._parts_stash = None
+            out = self._decode_parts_device(parts, mbs)
+            self._append_output(out)
+            return len(out)
         parts: list[tuple[bytes, bool]] = []
         total = 0
         projected = 0  # decoded-bytes upper bound (stored: exact; else max)
@@ -228,6 +274,8 @@ class FrameDecoder(io.RawIOBase):
             if len(word_bytes) == 0:
                 if parts:
                     break  # decode what we have; EOF surfaces next call
+                if self._pending is not None:
+                    return self._flush_pending()
                 self._frame_info = None
                 return 0
             if len(word_bytes) < 4:
@@ -239,6 +287,8 @@ class FrameDecoder(io.RawIOBase):
                     self._pushback = word_bytes + self._pushback
                     if parts:
                         break
+                    if self._pending is not None:
+                        return self._flush_pending()
                     self._frame_info = None
                     return 0
                 if word > 16 + 4 + (8 * 1024 * 1024 * 110) // 100:
@@ -255,6 +305,10 @@ class FrameDecoder(io.RawIOBase):
                     # Decode the batch first; re-see the end mark next call.
                     self._pushback = word_bytes + self._pushback
                     break
+                if self._pending is not None:
+                    # emit the in-flight batch; re-see the end mark next call
+                    self._pushback = word_bytes + self._pushback
+                    return self._flush_pending()
                 self._end_of_frame()
                 return 0
             if info.size > max_block_size:
@@ -270,6 +324,25 @@ class FrameDecoder(io.RawIOBase):
                 else info.size
             )
 
+        # Pipelined path (independent/legacy frames, ring engine): dispatch
+        # this batch asynchronously, emit the PREVIOUS batch while the
+        # device works — the host reads wire bytes and builds the next plan
+        # under the kernel's execution.
+        independent = fi.legacy_frame or fi.block_mode == BlockMode.Independent
+        if independent:
+            disp = self._dispatch_parts_device(parts, max_block_size)
+            if disp is not None:
+                prev_emitted = self._flush_pending()
+                self._pending = disp
+                if prev_emitted:
+                    return prev_emitted
+                # first batch of the pipeline: prime by reading the next one
+                return self._read_blocks_device()
+        if self._pending is not None:
+            # ring plan unavailable mid-pipeline: emit the in-flight batch
+            # now, decode the just-collected parts synchronously next call
+            self._parts_stash = (parts, max_block_size)
+            return self._flush_pending()
         out = self._decode_parts_device(parts, max_block_size)
         self._append_output(out)
         return len(out)

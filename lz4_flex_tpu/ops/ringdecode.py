@@ -621,7 +621,12 @@ def decode_block_ring(comp, total_out: int, *, plan: RingPlan | None = None,
     arrs = ring_plan_device_arrays(plan)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
                           nf=arrs[3].shape[1], interpret=interpret)
-    flat = np.asarray(out, dtype=np.uint8).reshape(-1)
+    # cast to bytes ON DEVICE before fetching: the kernel's tile output
+    # is int32 lanes; pulling it raw moves 4x the decoded bytes over
+    # PCIe (or this dev setup's ~20 MB/s tunnel)
+    import jax.numpy as jnp
+
+    flat = np.asarray(out.astype(jnp.uint8)).reshape(-1)
     return flat[: plan.total_out].tobytes()
 
 
@@ -634,6 +639,49 @@ def ring_engine_available() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def dispatch_parts_ring(
+    parts,
+    *,
+    independent: bool = False,
+    max_block_size: int | None = None,
+    interpret: bool = False,
+):
+    """Build the plan and DISPATCH the ring kernel for a multi-block frame
+    body without fetching: returns (device uint8 array, total_out), or None
+    when the ring engine is unavailable or the frame does not fit the static
+    plan shape. The dispatch is asynchronous, so the caller can overlap the
+    next batch's host plan build with this batch's device execution (the
+    pipelined steady state FrameDecoder's device engine runs)."""
+    from .decode import _as_u8
+    from .sequences import parse_sequences_host
+
+    if not interpret and not ring_engine_available():
+        return None
+    total = 0
+    for payload, is_comp in parts:
+        p = _as_u8(payload)
+        if is_comp:
+            seq = parse_sequences_host(p)
+            if max_block_size is not None and seq.total_out > max_block_size:
+                raise block_errors.OutputTooSmall(seq.total_out, max_block_size)
+            total += seq.total_out
+        else:
+            total += p.shape[0]
+    if total == 0:
+        return b"", 0
+    plan, _ = build_ring_plan_parts(parts, total, independent=independent)
+    if plan is None:
+        return None
+    arrs = ring_plan_device_arrays(plan)
+    out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
+                          nf=arrs[3].shape[1], interpret=interpret)
+    import jax.numpy as jnp
+
+    # cast to bytes ON DEVICE: fetching raw int32 lanes moves 4x the
+    # decoded bytes over PCIe (or this dev setup's ~20 MB/s tunnel)
+    return out.astype(jnp.uint8), plan.total_out
 
 
 def decode_parts_ring(
@@ -653,31 +701,16 @@ def decode_parts_ring(
     the XLA expansion path). Raises the block error taxonomy on malformed
     input.
     """
-    from .decode import _as_u8
-    from .sequences import parse_sequences_host
-
-    if not interpret and not ring_engine_available():
+    r = dispatch_parts_ring(
+        parts, independent=independent, max_block_size=max_block_size,
+        interpret=interpret,
+    )
+    if r is None:
         return None
-    total = 0
-    for payload, is_comp in parts:
-        p = _as_u8(payload)
-        if is_comp:
-            seq = parse_sequences_host(p)
-            if max_block_size is not None and seq.total_out > max_block_size:
-                raise block_errors.OutputTooSmall(seq.total_out, max_block_size)
-            total += seq.total_out
-        else:
-            total += p.shape[0]
-    if total == 0:
-        return b""
-    plan, _ = build_ring_plan_parts(parts, total, independent=independent)
-    if plan is None:
-        return None
-    arrs = ring_plan_device_arrays(plan)
-    out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
-                          nf=arrs[3].shape[1], interpret=interpret)
-    flat = np.asarray(out, dtype=np.uint8).reshape(-1)
-    return flat[: plan.total_out].tobytes()
+    out, total = r
+    if isinstance(out, bytes):
+        return out
+    return np.asarray(out).reshape(-1)[:total].tobytes()
 
 
 def ring_plan_device_arrays(plan: RingPlan, comp=None):

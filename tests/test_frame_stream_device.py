@@ -124,3 +124,27 @@ def test_stream_device_legacy_frame(corpus_34k):
     comp = _encode_device(corpus_34k, fi)
     assert frame.decompress(comp) == corpus_34k
     assert _decode_device(comp) == corpus_34k
+
+
+def test_device_engine_pipelined_batches(corpus_65k, monkeypatch):
+    """The device engine's pipelined path: batch i+1's wire read + plan
+    build overlap batch i's (dispatched, unfetched) kernel. Forced onto the
+    interpret-mode ring kernel with tiny batch budgets so several pipeline
+    stages (prime, steady, end-of-frame flush, concatenated restart) run."""
+    import io
+
+    from lz4_flex_tpu import frame
+    from lz4_flex_tpu.frame import BlockMode, BlockSize, FrameDecoder, FrameInfo
+
+    monkeypatch.setattr(FrameDecoder, "RING_INTERPRET", True)
+    monkeypatch.setattr(FrameDecoder, "DEVICE_BATCH_BLOCKS", 2)
+    data = corpus_65k * 3
+    fi = FrameInfo(
+        block_size=BlockSize.Max64KB,
+        block_mode=BlockMode.Independent,
+        content_checksum=True,
+    )
+    buf = frame.compress(data, frame_info=fi)
+    buf += frame.compress(data[:10000], frame_info=fi)
+    dec = FrameDecoder(io.BytesIO(buf), engine="device")
+    assert dec.read_all() == data + data[:10000]
