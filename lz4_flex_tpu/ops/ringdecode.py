@@ -27,10 +27,16 @@ The stream is match records by depth asc with soft fire boundaries: a fire's
 pulls all read the table before its writes, and the packer starts a new fire
 early only when a record would read a row an earlier-depth record in the
 open fire wrote. Every record's sources are literal-image bytes, earlier
-fires' writes, or ring bytes outside the tile; typical depths collapse to
-0-2 thanks to the builder's host-side partial chain resolution (deep chains
-telescope straight into the literal image — comp origins are always
-reachable by memcpy, so there is no literal-window overflow class).
+fires' writes, or ring bytes outside the tile.
+
+Round-4 record diet: the builder MATERIALIZES every match whose source
+bytes are already final in the literal image (depth-0, in-tile) — literal-
+rooted chains collapse into host memcpys level by level, periodic (P<128)
+pieces whose window resolves tile themselves as byte patterns, and deep
+pieces resolve through a lazy per-piece chase over a sparse index instead
+of a per-byte origin map. Only ring-rooted content reaches the kernel
+(~40% fewer records on text, 2-3x fewer on repetitive corpora), and tiles
+whose plan flags zero periodic fires run a branch-free fire loop.
 """
 
 from __future__ import annotations
