@@ -438,7 +438,9 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
 
     def one(nft_, fp_, init_, f0_, f1_, f2_):
         out = kc(nft_[0], fp_[0], init_[0], f0_[0], f1_[0], f2_[0])
-        return out[None]
+        # cast to bytes on device: fetching the kernel's int32 lanes raw
+        # would move 4x the decoded bytes per chip over PCIe
+        return out.astype(jnp.uint8)[None]
 
     # pallas_call's out_shape carries no vma annotation, so the static
     # replication checker cannot see through it — disable it (same story as
@@ -459,7 +461,7 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
         jax.device_put(x, sh)
         for x in (nft, fp, init, f0, f1, f2)
     ))
-    out_h = fetch_global(out).astype(np.uint8)
+    out_h = fetch_global(out)
 
     blocks: list[bytes] = []
     for d, s in enumerate(staged):
