@@ -224,6 +224,29 @@ def main() -> None:
     )
     ok = ok and chk_ok
 
+    # Kernel-capability line: the default plan trades kernel headroom for
+    # host plan time (RESOLVE_MIN_DEPTH=16 keeps the pipeline plan-bound);
+    # a resolve_min_depth=8 plan minimizes fires and shows what the ring
+    # kernel itself sustains when the host is not the constraint (e.g. on
+    # a beefier host or with more host cores per chip).
+    try:
+        plan8 = build_ring_plan(comp_np, n, resolve_min_depth=8)
+        arrs8 = [jnp.asarray(a) for a in ring_plan_device_arrays(plan8)]
+        f_k8 = lambda: ring_decode_jit(
+            *arrs8, ntiles=arrs8[0].shape[0], nf=arrs8[3].shape[1], ntot=ntot
+        )
+        ok8 = lane_sum(f_k8()[1]) == ring_checksum_expected(data)
+        t_k8 = device_time(f_k8, sync=lambda r: r[1])
+        print(
+            f"decode ring kernel capability (min-fire plan, rmd=8, "
+            f"{int(plan8.nf_tot.sum())} fires): {t_k8*1e3:.2f} ms "
+            f"({n/t_k8/2**20:.0f} MiB/s) incl. on-device checksum, ok={ok8}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"kernel-capability bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # Cross-corpus generalization: the same pipeline on ~10 MB of REAL file
     # content (reference in-repo corpora interleaved — text + JSON mix),
     # byte-exactness asserted through the public path. Same bucketed shapes
