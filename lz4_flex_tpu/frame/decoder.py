@@ -195,7 +195,11 @@ class FrameDecoder(io.RawIOBase):
 
         dev, total = self._pending
         self._pending = None
-        self._parts_stash = None  # sync-path batch deferred by a flush
+        # NOTE: self._parts_stash must NOT be cleared here — the
+        # ring-plan-unavailable path stashes the just-collected parts and then
+        # flushes the in-flight batch; the stash is consumed at the top of
+        # _read_blocks_device on the next call. Clearing it silently dropped
+        # a batch whose wire bytes were already consumed.
         out = np.asarray(dev).reshape(-1)[:total].tobytes()
         self._append_output(out)
         return len(out)

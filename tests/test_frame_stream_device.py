@@ -126,6 +126,43 @@ def test_stream_device_legacy_frame(corpus_34k):
     assert _decode_device(comp) == corpus_34k
 
 
+def test_device_engine_sync_fallback_mid_pipeline(corpus_65k, monkeypatch):
+    """Regression: when dispatch_parts_ring returns None (plan overflow /
+    NFMAX ladder exhaustion) while a batch is in flight, the just-collected
+    parts are stashed for a synchronous decode and the in-flight batch is
+    flushed — the flush must NOT destroy the stash (that silently dropped a
+    whole batch whose wire bytes were already consumed). Forced by making
+    dispatch_parts_ring fail on alternating batches."""
+    import io as _io
+
+    from lz4_flex_tpu import frame
+    from lz4_flex_tpu.frame import BlockMode, BlockSize, FrameDecoder, FrameInfo
+    from lz4_flex_tpu.ops import ringdecode
+
+    monkeypatch.setattr(FrameDecoder, "RING_INTERPRET", True)
+    monkeypatch.setattr(FrameDecoder, "DEVICE_BATCH_BLOCKS", 2)
+    real = ringdecode.dispatch_parts_ring
+    calls = {"n": 0}
+
+    def flaky(parts, **kw):
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            return None  # force the sync fallback mid-pipeline
+        return real(parts, **kw)
+
+    monkeypatch.setattr(ringdecode, "dispatch_parts_ring", flaky)
+    data = corpus_65k * 6  # ~12 batches of 2 blocks
+    fi = FrameInfo(
+        block_size=BlockSize.Max64KB,
+        block_mode=BlockMode.Independent,
+        # checksums OFF: the original bug was silent without them
+    )
+    buf = frame.compress(data, frame_info=fi)
+    dec = FrameDecoder(_io.BytesIO(buf), engine="device")
+    assert dec.read_all() == data
+    assert calls["n"] >= 4  # both paths actually exercised
+
+
 def test_device_engine_pipelined_batches(corpus_65k, monkeypatch):
     """The device engine's pipelined path: batch i+1's wire read + plan
     build overlap batch i's (dispatched, unfetched) kernel. Forced onto the
