@@ -784,20 +784,17 @@ static inline uint8_t depth_range_max(const uint8_t* dp, int64_t lo,
 // overhead dominated the TLZ4_SKIP=set ablation). The len<8 fast path
 // writes a full 8-byte splat: bytes past p0+len belong to later pieces of
 // the SAME tile (output order), which overwrite them before any scan reads
-// them (scans only read already-emitted positions); `te` guards the tile
-// boundary — a spill into the next tile would race that tile's worker.
+// them (scans only read already-emitted positions). The buffer is the
+// per-worker TILE-LOCAL depth scratch (tile_rows*128 + 64 slack bytes), so
+// the splat can always run — the slack absorbs the tile-end spill.
 static inline void depth_fill(uint8_t* dp, int64_t p0, int64_t len,
-                              uint8_t d, int64_t te) {
+                              uint8_t d) {
     uint64_t splat = 0x0101010101010101ULL * (uint64_t)d;
     if (len <= 8) {
-        if (p0 + 8 <= te) {
-            std::memcpy(dp + p0, &splat, 8);
-        } else {
-            for (int64_t k = 0; k < len; k++) dp[p0 + k] = d;
-        }
+        std::memcpy(dp + p0, &splat, 8);
         return;
     }
-    if (len <= 16) {  // both stores end <= p0+len <= te
+    if (len <= 16) {
         std::memcpy(dp + p0, &splat, 8);
         std::memcpy(dp + p0 + len - 8, &splat, 8);
         return;
@@ -867,7 +864,6 @@ struct RingShared {
                         // telescopes to a comp position) is memcpy'd here
                         // host-side; the kernel seeds each tile from it and
                         // only match fires run on device
-    uint8_t* depth;   // (expected_out) per-byte fire depth
 };
 
 // Builder state for exactly one tile: output range [ts, te).
@@ -875,6 +871,14 @@ struct RingTile {
     const RingShared* g;
     int32_t t;
     int64_t ts, te, ring_base;  // ring_base = ts - WR*128
+    uint8_t* dloc;  // per-worker TILE-LOCAL depth scratch: dloc[x] is the
+                    // fire depth of global output position ts + x. Every
+                    // depth read clamps its range to [ts, te) (sources
+                    // before the tile contribute through the ring, not
+                    // depth), so 32 KiB + 64 B of slack per worker replaces
+                    // the former global expected_out-sized scratch — the
+                    // buffer stays L2-resident across tiles instead of
+                    // streaming ~10 MB of DRAM per 10 MB plan.
     int64_t deep_pieces = 0;    // pieces that entered the resolution branch
     int64_t nrec = 0;
     int64_t tbase = 0;   // this tile's flat base in the field arrays
@@ -985,23 +989,34 @@ static inline void stamp_i32(int32_t* o, int64_t p, int64_t pe, int32_t v) {
     for (; p < pe; p++) o[p] = v;
 }
 
-// Record-field copy with NON-TEMPORAL stores: the packed (ntiles, NF, RB)
-// arrays (~11 MB per 10 MB plan) are written once here and never re-read
-// on the host (they upload to the device), so streaming them past the
-// cache keeps the working set (depth, lit image, piece index) resident.
+// Record-field copy, optionally with NON-TEMPORAL stores: the packed
+// (ntiles, NF, RB) arrays (~11-30 MB per 10 MB plan) are written once here
+// and never re-read on the host (they upload to the device). On small-L3
+// hosts streaming them past the cache keeps the working set (depth, lit
+// image, piece index) resident (measured ~1 ms/10 MB win on a 4-core 8 MB
+// L3 box); on large-L3 hosts (e.g. 260 MB Xeon) the same NT stores force
+// DRAM round-trips the cache would have absorbed (measured ~1.3 ms LOSS).
+// tlz4_build_ring_plan2 decides per call from the plan size vs L3 size.
+static bool use_nt_stores = true;
+
 static inline void stream_copy_i32(int32_t* dst, const int32_t* src,
                                    int64_t n) {
 #if defined(__SSE2__)
-    int64_t k = 0;
-    // head: align dst to 16
-    while (k < n && (((uintptr_t)(dst + k)) & 15)) { dst[k] = src[k]; k++; }
-    for (; k + 4 <= n; k += 4)
-        _mm_stream_si128((__m128i*)(dst + k),
-                         _mm_loadu_si128((const __m128i*)(src + k)));
-    for (; k < n; k++) dst[k] = src[k];
-#else
-    std::memcpy(dst, src, (size_t)n * 4);
+    if (use_nt_stores) {
+        int64_t k = 0;
+        // head: align dst to 16
+        while (k < n && (((uintptr_t)(dst + k)) & 15)) {
+            dst[k] = src[k];
+            k++;
+        }
+        for (; k + 4 <= n; k += 4)
+            _mm_stream_si128((__m128i*)(dst + k),
+                             _mm_loadu_si128((const __m128i*)(src + k)));
+        for (; k < n; k++) dst[k] = src[k];
+        return;
+    }
 #endif
+    std::memcpy(dst, src, (size_t)n * 4);
 }
 
 // Compact batched-fire packing for one finished tile: the record stream is
@@ -1278,12 +1293,13 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
         int64_t lo_s = src_lo < c.ts ? c.ts : src_lo;
         d = 0;
         if (lo_s < src_hi && !skip_scan)
-            d = (int32_t)depth_range_max(g.depth, lo_s, src_hi) + 1;
+            d = (int32_t)depth_range_max(c.dloc, lo_s - c.ts, src_hi - c.ts) +
+                1;
     }
     if (d < 1) d = 1;  // ring-only sources: no ordering constraint, but the
                        // written bytes are NOT final in the literal image
     if (d > RING_MAX_DEPTH) return TLZ4_PLAN_OVF_DEPTH;
-    if (!skip_set) depth_fill(g.depth, p0, len, (uint8_t)d, c.te);
+    if (!skip_set) depth_fill(c.dloc, p0 - c.ts, len, (uint8_t)d);
     ring_push(c, p0, len, S_local, P, ph, d);
     return 0;
 }
@@ -1304,9 +1320,11 @@ inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0,
     // still becomes kernel records. Non-wrapping pieces only (callers
     // guarantee span <= off here), so the copy is overlap-free.
     if (s0 >= c.ts && !skip_scan && !skip_origin && !no_mat) {
-        int32_t dmax = d_pre >= 0
-                           ? d_pre - 1
-                           : (int32_t)depth_range_max(gg.depth, s0, s0 + span);
+        int32_t dmax =
+            d_pre >= 0
+                ? d_pre - 1
+                : (int32_t)depth_range_max(c.dloc, s0 - c.ts,
+                                           s0 + span - c.ts);
         if (dmax == 0) {
             std::memcpy(gg.lit_init + p0, gg.lit_init + s0, (size_t)span);
             return 0;
@@ -1340,24 +1358,26 @@ inline int ring_emit_piece(RingTile& c, int64_t p0, int32_t span, int64_t m0,
     const RingShared& g = *c.g;
     int64_t rel = p0 - m0;
     int32_t d_raw;
-    const uint8_t* dp = g.depth;
+    const uint8_t* dp = c.dloc;
+    const int64_t ts = c.ts;
     if (skip_scan) {
         d_raw = 1;
     } else if (off <= 128 && rel + span > off) {
         int64_t A = m0 - off;
         if (A < c.ring_base) A += ((c.ring_base - A + off - 1) / off) * off;
-        int64_t lo_s = A < c.ts ? c.ts : A;
-        d_raw =
-            lo_s < A + off ? (int32_t)depth_range_max(dp, lo_s, A + off) + 1
-                           : 0;
+        int64_t lo_s = A < ts ? ts : A;
+        d_raw = lo_s < A + off
+                    ? (int32_t)depth_range_max(dp, lo_s - ts, A + off - ts) + 1
+                    : 0;
     } else {
         // non-wrapping (span <= off by piece construction when off > 128):
         // distinct sources are [p0-off, p0-off+span)
         int64_t s0 = p0 - off;
-        int64_t lo_s = s0 < c.ts ? c.ts : s0;
-        d_raw = lo_s < s0 + span
-                    ? (int32_t)depth_range_max(dp, lo_s, s0 + span) + 1
-                    : 0;
+        int64_t lo_s = s0 < ts ? ts : s0;
+        d_raw =
+            lo_s < s0 + span
+                ? (int32_t)depth_range_max(dp, lo_s - ts, s0 + span - ts) + 1
+                : 0;
     }
     if (d_raw >= g.resolve_min_depth && !skip_origin) {
         c.deep_pieces++;
@@ -1928,6 +1948,7 @@ int ring_build_tile(const RingShared& g, const SeqView* views,
     static thread_local RecArena arena_tls;
     static thread_local std::vector<GroupStream> gs_tls;
     static thread_local std::vector<int32_t> ppos_tls, pval_tls, rowidx_tls;
+    static thread_local std::vector<uint8_t> depth_tls;
     RingTile c;
     c.g = &g;
     c.t = t;
@@ -1947,13 +1968,16 @@ int ring_build_tile(const RingShared& g, const SeqView* views,
     c.row_mask = (g.tile_rows & (g.tile_rows - 1)) == 0 ? g.tile_rows - 1 : 0;
     c.ts = ((int64_t)t * g.tile_rows) << 7;
     c.te = c.ts + (((int64_t)g.tile_rows) << 7);
-    // Pre-zero the tile's depth slice (32 KB, L2-resident) so the dominant
-    // depth value (0: literal bytes, pre-tile-source and resolved matches)
-    // needs no per-span fills — only nonzero depths write.
-    if (!skip_set) {
-        int64_t ze = c.te < g.expected_out ? c.te : g.expected_out;
-        if (ze > c.ts) std::memset(g.depth + c.ts, 0, (size_t)(ze - c.ts));
-    }
+    // Per-worker tile-local depth scratch (32 KiB + 64 B SIMD-overread
+    // slack), pre-zeroed so the dominant depth value (0: literal bytes,
+    // pre-tile-source and resolved matches) needs no per-span fills — only
+    // nonzero depths write. The buffer persists across tiles and calls
+    // (L2-resident), replacing the former global expected_out-sized scratch
+    // that streamed ~1 byte of DRAM per output byte.
+    const size_t dsz = ((size_t)g.tile_rows << 7) + 64;
+    if (depth_tls.size() < dsz) depth_tls.resize(dsz);
+    c.dloc = depth_tls.data();
+    if (!skip_set) std::memset(c.dloc, 0, dsz);
     // Match-covered lit_init bytes are zeroed span-by-span in the seq loop
     // below (cheaper than a whole-tile pre-memset: literal bytes get
     // written exactly once); only the beyond-output tail needs zeroing
@@ -2088,7 +2112,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     int32_t nthreads,
     int32_t* f0, int32_t* f1, int32_t* f2,
     int32_t* nf_tot, int32_t* fper, uint8_t* lit_init,
-    uint8_t* depth, int64_t* total_out)
+    int64_t* total_out)
 {
     // int32 positions throughout the plan (RingSeq, piece index, record
     // fields): one plan is bounded to <2 GiB of comp and output — callers
@@ -2112,6 +2136,20 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
         hard_groups = std::getenv("TLZ4_HARD_GROUPS") != nullptr;
         deterministic_fill = std::getenv("TLZ4_DETERMINISTIC") != nullptr;
         no_mat = std::getenv("TLZ4_NO_MAT") != nullptr;
+        // NT record stores iff the packed field arrays wouldn't comfortably
+        // fit the last-level cache (see stream_copy_i32). TLZ4_NT=0/1
+        // overrides for A/B.
+        static const long l3 = [] {
+            long v = 0;
+#ifdef _SC_LEVEL3_CACHE_SIZE
+            v = sysconf(_SC_LEVEL3_CACHE_SIZE);
+#endif
+            return v > 0 ? v : 8L << 20;  // unknown: assume small
+        }();
+        int64_t plan_bytes = (int64_t)ntiles * nfmax * rb * 12;
+        use_nt_stores = plan_bytes * 2 > l3;
+        if (const char* nt = std::getenv("TLZ4_NT"))
+            use_nt_stores = nt[0] != '0';
     }
     if (prof) {
         prof_emit_ns.store(0); prof_pack_ns.store(0); prof_recs.store(0);
@@ -2134,7 +2172,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
 
     RingShared g{tile_rows, window_rows, ntiles, rb, nfmax,
                  resolve_min_depth, resolve_runs, expected_out, input,
-                 f0, f1, f2, nf_tot, fper, lit_init, depth};
+                 f0, f1, f2, nf_tot, fper, lit_init};
     RingWatermark wm;
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};  // stop flag; details ordered by tile below

@@ -142,7 +142,7 @@ def _native_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, i32p, u8p,
-            u8p, i64p,
+            i64p,
         ]
         lib.tlz4_build_ring_plan2._tlz4_configured = True
     return lib
@@ -151,20 +151,6 @@ def _native_lib():
 import threading
 
 _scratch = threading.local()
-
-
-def _chase_scratch(n: int):
-    """Per-thread reusable depth buffer (internal to one build call — never
-    part of the returned plan, so reuse cannot alias). +64 bytes of slack:
-    the native SIMD range-max overlap-loads up to 15 bytes past a scan end,
-    which may touch [total_out, total_out+15)."""
-    size = max(n + 64, 1 << 20)
-    cur = getattr(_scratch, "bufs", None)
-    if cur is None or cur.shape[0] < size:
-        size = -(-size // (1 << 20)) * (1 << 20)
-        cur = np.empty(size, np.uint8)
-        _scratch.bufs = cur
-    return cur
 
 
 def _record_arrays(ntiles: int, nfmax: int, rb: int, tile_rows: int):
@@ -255,7 +241,6 @@ def build_ring_plan_parts(
     )
     nf_tot = np.zeros(ntiles, np.int32)
     fper = np.zeros((ntiles, (nfmax + 31) // 32), np.int32)
-    depth = _chase_scratch(total_out)
     tot = np.zeros(1, np.int64)
 
     lib = _native_lib()
@@ -273,7 +258,6 @@ def build_ring_plan_parts(
         f2.ctypes.data_as(i32p),
         nf_tot.ctypes.data_as(i32p), fper.ctypes.data_as(i32p),
         lit_init.ctypes.data_as(u8p),
-        depth.ctypes.data_as(u8p),
         tot.ctypes.data_as(i64p),
     )
     if rc == -102 and nfmax < NFMAX_RETRY:
