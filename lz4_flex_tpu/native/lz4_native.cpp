@@ -608,6 +608,12 @@ TLZ4_API uint32_t tlz4_xxh32_digest(const uint32_t* s) {
 #define TLZ4_PLAN_OVF_LITSPAN (-103)
 #define TLZ4_PLAN_OVF_DEPTH   (-104)
 
+// The per-piece emit path runs ~2M calls per 10 MB plan; at -O3 g++ still
+// outlines ring_emit_plain/ring_emit_match/ring_push (gprof: ~36% of the
+// single-thread build in call-crossed frames), so the hot chain is forced
+// inline.
+#define TLZ4_HOT __attribute__((always_inline))
+
 namespace {
 constexpr int32_t RING_MAX_DEPTH = 250;  // depth[] is uint8
 
@@ -630,6 +636,7 @@ struct WorkPool {
     std::mutex job_mu;  // serializes run() callers
     std::atomic<uint32_t> gen{0};  // job generation; the futex word
     std::atomic<int> active{0};    // workers still inside the current job
+    std::atomic<int> lanes{0};     // job tickets left (bounds participation)
     const std::function<void()>* job = nullptr;
     int nworkers = 0;
     pid_t owner = 0;
@@ -653,7 +660,13 @@ struct WorkPool {
             while ((g = gen.load(std::memory_order_acquire)) == seen)
                 futex_wait(&gen, seen);
             seen = g;
-            (*job)();  // job write is ordered before the gen bump (release)
+            // Ticket gate: the futex wake reaches EVERY parked worker, but a
+            // job that asked for nth lanes must not run on more — beyond the
+            // core count the extra lanes only thrash (measured +2 ms on the
+            // 10 MB plan at 8 lanes on 4 cores). Surplus workers skip the
+            // job; they still decrement active so run() can join.
+            if (lanes.fetch_sub(1, std::memory_order_acq_rel) > 0)
+                (*job)();  // job write is ordered before the gen bump
             active.fetch_sub(1, std::memory_order_release);
         }
     }
@@ -676,6 +689,7 @@ struct WorkPool {
             nworkers++;
         }
         job = &fn;
+        lanes.store(nth - 1, std::memory_order_relaxed);
         active.store(nworkers, std::memory_order_relaxed);
         gen.fetch_add(1, std::memory_order_release);
         futex_wake_all(&gen);
@@ -854,6 +868,7 @@ struct RingShared {
     int32_t resolve_min_depth, resolve_runs;
     int64_t expected_out;
     const uint8_t* input;  // concatenated compressed stream (literal source)
+    int64_t input_len;     // its length (wild-copy overread guard)
     int32_t* f0; int32_t* f1; int32_t* f2;  // (ntiles, nfmax, rb) records
     int32_t* nf_tot;  // per-tile fire counts (match fires only)
     int32_t* fper;    // (ntiles, (nfmax+31)/32) bitmask: fire has a P<128
@@ -901,7 +916,7 @@ struct RingTile {
     int32_t filled_row = -1;
 };
 
-inline void idx_push(RingTile& c, int32_t p, int32_t v) {
+TLZ4_HOT inline void idx_push(RingTile& c, int32_t p, int32_t v) {
     int32_t rp = (int32_t)(((int64_t)p - c.ts) >> 7);
     int32_t n = (int32_t)c.ppos->size();
     for (int32_t r = c.filled_row + 1; r <= rp; r++) (*c.rowidx)[r] = n;
@@ -980,7 +995,10 @@ static void lazy_chase(const RingTile& c, int64_t lo, int64_t hi,
     }
 }
 
-// splat[p, pe) = v (int32), 4-wide
+// splat[p, pe) = v (int32), 4-wide. (NT stamping was tried for round 5 and
+// measured a 2.4 ms LOSS on the 10 MB text plan: the pad runs are short and
+// interleave with the NT record copies, so the partial write-combining
+// buffers flush line-by-line instead of streaming.)
 static inline void stamp_i32(int32_t* o, int64_t p, int64_t pe, int32_t v) {
 #if defined(__SSE2__)
     const __m128i vec = _mm_set1_epi32(v);
@@ -1044,6 +1062,21 @@ static inline void stream_copy_i32(int32_t* dst, const int32_t* src,
 // hazard. This recovers most of the ~25% fire padding that hard per-group
 // rounding cost (measured 7497 -> ~6030 fires on the 10 MB text corpus).
 // TLZ4_HARD_GROUPS=1 restores hard boundaries for A/B.
+//
+// PENDING-DEFER (round 5): a conflicting record no longer pads the fire
+// out — it is pushed to a per-tile pending list and the scan keeps
+// filling the open fire with the group's remaining records (order within
+// a depth group is free: each output lane has exactly one writer per
+// tile, and a group-d record can never source bytes written at depth d).
+// Pending records drain into the next FRESH fire (right after any fire
+// close their conflict set Wfz is empty, so the drain cannot conflict);
+// the group-end flush closes the fire iff pending is non-empty — the
+// same pad the old code paid on the FIRST conflict now happens at most
+// once per (group, fire) and only after the fire filled with everything
+// conflict-free. Deferring past the group boundary would be unsound: a
+// group-(d+1) record may read rows a pending group-d record writes, and
+// the hazard scan only checks the open fire, not the pending set.
+// Measured on the 10 MB text corpus: 5385 -> ~4100 fires, same records.
 int ring_pack_tile(RingTile& c) {
     const RingShared& g = *c.g;
     const int64_t RB = g.rb;
@@ -1092,15 +1125,49 @@ int ring_pack_tile(RingTile& c) {
             k = upto;
         };
         bool wfz_any = false;  // Wfz all-zero => no conflict possible
-        for (int32_t gi = 1; (size_t)2 * gi < nstreams; gi++) {
+        // Pending-defer buffers (plain / periodic), per-worker persistent.
+        static thread_local std::vector<int32_t> pd0[2], pd1[2], pd2[2];
+        pd0[0].clear(); pd1[0].clear(); pd2[0].clear();
+        pd0[1].clear(); pd1[1].clear(); pd2[1].clear();
+        int32_t cur_gi = 1;
+        bool ovf = false;
+        // Drain the pending lists into the (fresh) open fire. Only called
+        // right after a close_fire, so Wfz is empty and nothing conflicts.
+        auto drain_pending = [&]() {
+            for (int pp = 0; pp < 2; pp++) {
+                int32_t n = (int32_t)pd0[pp].size();
+                int32_t i = 0;
+                while (i < n) {
+                    int32_t room = (int32_t)(RB - (k % RB));
+                    int32_t m = n - i < room ? n - i : room;
+                    if (k + m > cap) { ovf = true; return; }
+                    stream_copy_i32(g.f0 + tbase + k, pd0[pp].data() + i, m);
+                    stream_copy_i32(g.f1 + tbase + k, pd1[pp].data() + i, m);
+                    stream_copy_i32(g.f2 + tbase + k, pd2[pp].data() + i, m);
+                    for (int32_t q = i; q < i + m; q++) {
+                        int32_t wrow = (pd2[pp][q] >> 7) & 511;
+                        W[wrow >> 6] |= 1ull << (wrow & 63);
+                    }
+                    fire_per |= pp == 1;
+                    lslots[cur_gi < 17 ? cur_gi : 17] += m;
+                    k += m;
+                    i += m;
+                    if (!(k % RB)) close_fire(k);  // Wfz stays empty
+                }
+                pd0[pp].clear(); pd1[pp].clear(); pd2[pp].clear();
+            }
+        };
+        for (int32_t gi = 1; (size_t)2 * gi < nstreams && !ovf; gi++) {
+            cur_gi = gi;
             std::memcpy(Wfz, W, sizeof(W));  // freeze prior groups' writes
             wfz_any = (Wfz[0] | Wfz[1] | Wfz[2] | Wfz[3] | Wfz[4] | Wfz[5] |
                        Wfz[6] | Wfz[7]) != 0;
-            for (int pass = 0; pass < 2; pass++) {
+            for (int pass = 0; pass < 2 && !ovf; pass++) {
                 size_t sid = 2 * (size_t)gi + pass;
                 if (sid >= nstreams) break;
                 const bool per = pass == 1;  // streams segregate periodic
-                for (RecChunk* ch = (*c.gs)[sid].head; ch; ch = ch->next) {
+                for (RecChunk* ch = (*c.gs)[sid].head; ch && !ovf;
+                     ch = ch->next) {
                     int32_t i = 0;
                     while (i < ch->n) {
                         // span = up to the next fire boundary / chunk end
@@ -1142,20 +1209,32 @@ int ring_pack_tile(RingTile& c) {
                             if (!(k % RB)) {
                                 close_fire(k);
                                 wfz_any = false;  // fresh fire: Wfz cleared
+                                drain_pending();
+                                if (ovf) break;
                             }
                             i = j;
                         }
-                        if (j < lim) {  // conflict at j: pad out the fire
-                            if (k % RB) {
-                                close_fire(((k + RB - 1) / RB) * RB);
-                                wfz_any = false;
-                            }
+                        if (j < lim) {  // conflict at j: defer the record
+                            pd0[per].push_back(ch->v0[j]);
+                            pd1[per].push_back(ch->v1[j]);
+                            pd2[per].push_back(ch->v2[j]);
+                            i = j + 1;
                         }
                         if (k >= cap && i < ch->n) return TLZ4_PLAN_OVF_SLOT;
                     }
                 }
             }
+            // Group-end flush: pending records conflict with the open
+            // fire's earlier-group writes by construction, and the NEXT
+            // group may read rows they write — close and drain before
+            // advancing.
+            if (!ovf &&
+                (!pd0[0].empty() || !pd0[1].empty())) {
+                if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
+                drain_pending();
+            }
         }
+        if (ovf) return TLZ4_PLAN_OVF_SLOT;
         if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
         if (k > cap) return TLZ4_PLAN_OVF_SLOT;
         g.nf_tot[c.t] = (int32_t)(k / RB);
@@ -1220,7 +1299,7 @@ int ring_pack_tile(RingTile& c) {
     return 0;
 }
 
-inline int32_t ring_row(const RingTile& c, int64_t p0) {
+TLZ4_HOT inline int32_t ring_row(const RingTile& c, int64_t p0) {
     // tile_rows is 256 in production; the pow2 mask avoids a per-record
     // integer division (tile_rows is a runtime value the compiler can't
     // strength-reduce)
@@ -1228,7 +1307,7 @@ inline int32_t ring_row(const RingTile& c, int64_t p0) {
                       : (int32_t)((p0 >> 7) % c.g->tile_rows);
 }
 
-inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
+TLZ4_HOT inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
                       int32_t P, int32_t ph, int32_t d) {
     if (skip_push) return;
     int32_t v0 = (int32_t)S;
@@ -1260,9 +1339,20 @@ inline void ring_push(RingTile& c, int64_t p0, int32_t len, int64_t S,
 // bookkeeping either. This removes the literal fire group from the kernel
 // (~40% of fires on the 10 MB text corpus) and the literal-window overflow
 // class from the plan (any comp position is reachable by memcpy).
-inline int ring_emit_lit_frag(RingTile& c, int64_t p, int64_t pe,
-                              int64_t csrc) {
-    std::memcpy(c.g->lit_init + p, c.g->input + csrc, (size_t)(pe - p));
+TLZ4_HOT inline int ring_emit_lit_frag(RingTile& c, int64_t p, int64_t pe,
+                                       int64_t csrc) {
+    // Wild 16-byte copy for the common short run (avg ~6 B on text):
+    // variable-length memcpy dispatch costs more than the copy. Overrun
+    // bytes land in the SAME seq's match span (written later or record-
+    // covered garbage), so they are harmless — unless the run ends within
+    // 16 B of the tile end (the next tile belongs to a concurrent worker)
+    // or the source is within 16 B of the comp buffer end.
+    int64_t len = pe - p;
+    if (len <= 16 && pe + 16 <= c.te && csrc + 16 <= c.g->input_len) {
+        std::memcpy(c.g->lit_init + p, c.g->input + csrc, 16);
+        return 0;
+    }
+    std::memcpy(c.g->lit_init + p, c.g->input + csrc, (size_t)len);
     return 0;
 }
 
@@ -1280,7 +1370,7 @@ inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
 // or host-materialized match bytes). That makes knownness testable with
 // the same SIMD range-max the group ordering already uses — the
 // materialization fast paths below hinge on it.
-inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
+TLZ4_HOT inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
                            int32_t P, int32_t ph, int64_t src_lo,
                            int64_t src_hi, int32_t d_pre = -1) {
     const RingShared& g = *c.g;
@@ -1308,7 +1398,7 @@ inline int ring_emit_match(RingTile& c, int64_t p0, int32_t len, int64_t S_out,
 // row boundaries with row-aligned S (same single-pull contract as
 // ring_emit_lit above); s0 >= ring_base + 1 for any valid offset, and
 // ring_base is row-aligned, so S never undershoots the ring.
-inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0,
+TLZ4_HOT inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64_t s0,
                            int32_t d_pre = -1) {
     const RingShared& gg = *c.g;
     // Known-source materialization: when the whole source span is in-tile
@@ -2172,7 +2262,7 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
 
     RingShared g{tile_rows, window_rows, ntiles, rb, nfmax,
                  resolve_min_depth, resolve_runs, expected_out, input,
-                 f0, f1, f2, nf_tot, fper, lit_init};
+                 (int64_t)input_len, f0, f1, f2, nf_tot, fper, lit_init};
     RingWatermark wm;
     std::atomic<int32_t> next{0};
     std::atomic<int32_t> err{0};  // stop flag; details ordered by tile below
@@ -2199,8 +2289,12 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
             }
         }
     };
+    // Lane count == core count: the build is CPU-bound (the 260 MB-L3 dev
+    // Xeon holds the whole working set; 46 GB/s of 4-thread copy bandwidth
+    // vs ~70 MB of plan traffic), so oversubscription only adds context
+    // switches — 2x lanes measured +2 ms on the 10 MB plan.
     int32_t nth = nthreads > 0 ? nthreads
-                               : 2 * (int32_t)std::thread::hardware_concurrency();
+                               : (int32_t)std::thread::hardware_concurrency();
     if (nth < 1) nth = 1;
 
     // Parse: parallel (block items + speculative segments) for big inputs,
