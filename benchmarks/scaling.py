@@ -127,6 +127,42 @@ def main():
     for nd, nb, thr, eff in rows2:
         print(f"{nd:>8} {nb:>10} {thr:>10.1f} {eff:>10.0%}")
 
+    # Concurrent per-chip plan builds: each device's span plans on the host
+    # thread pool (parallel/pipeline.py:stage_ring_groups). The wall should
+    # stay roughly FLAT as devices grow (per-device data is fixed, builds
+    # overlap) — the premise of SCALING.md §3's one-host-feeds-N-chips
+    # byte budget. On the 4-core dev host the flattening saturates at
+    # ~cores/lanes; a production host with more cores extends it.
+    from lz4_flex_tpu.parallel.pipeline import stage_ring_groups
+
+    rows3 = []
+    for nd in sizes:
+        nblocks = nd * args.blocks_per_device
+        data = b" ".join(
+            vocab[rng.integers(0, len(vocab))]
+            for _ in range(nblocks * args.block_size // 6)
+        )[: nblocks * args.block_size]
+        payloads = [
+            blk.compress(data[i : i + args.block_size])
+            for i in range(0, len(data), args.block_size)
+        ]
+        per = -(-len(payloads) // nd)
+        groups = [payloads[i * per : (i + 1) * per] for i in range(nd)]
+        staged = stage_ring_groups(groups, args.block_size)  # warm pools
+        assert staged is not None
+        best = float("inf")
+        for _ in range(max(3, args.iters)):
+            t0 = time.perf_counter()
+            stage_ring_groups(groups, args.block_size)
+            best = min(best, time.perf_counter() - t0)
+        rows3.append((nd, len(data), best * 1e3))
+
+    print()
+    print("concurrent per-chip plan builds (wall, min; flat = overlapping):")
+    print(f"{'devices':>8} {'bytes':>10} {'plan ms':>10}")
+    for nd, nb, ms in rows3:
+        print(f"{nd:>8} {nb:>10} {ms:>10.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -209,6 +209,43 @@ def decompress_block(
     return out[out_pos : out_pos + n].tobytes() if return_bytes else int(n)
 
 
+def measure_block(data) -> int:
+    """Decoded size of one block via the size-only token walk (reads only
+    token/LSIC bytes — ~15x cheaper than parse_sequences when just the size
+    is needed). Raises the block error taxonomy on structural errors."""
+    src = _as_u8(data)
+    lib = _lib()
+    if not hasattr(lib, "_tlz4_measure_configured"):
+        lib.tlz4_measure_block.restype = ctypes.c_int64
+        lib.tlz4_measure_block.argtypes = [_u8p, ctypes.c_size_t]
+        lib._tlz4_measure_configured = True
+    n = lib.tlz4_measure_block(_ptr(src), src.size)
+    if n < 0:
+        _raise_decompress_error(int(n), 0, 0)
+    return int(n)
+
+
+def verify_block(comp, ref, ext_dict=b"") -> bool:
+    """True iff decode(comp, ext_dict) == ref, checked in one zero-write
+    token walk (no output buffer). The cheap exactness guard for the device
+    encoders' fingerprinted LCP stage — see tlz4_verify_block."""
+    src = _as_u8(comp)
+    refa = _as_u8(ref)
+    dic = _as_u8(ext_dict)
+    lib = _lib()
+    if not hasattr(lib, "_tlz4_verify_configured"):
+        lib.tlz4_verify_block.restype = ctypes.c_int64
+        lib.tlz4_verify_block.argtypes = [
+            _u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t,
+            _u8p, ctypes.c_size_t,
+        ]
+        lib._tlz4_verify_configured = True
+    n = lib.tlz4_verify_block(
+        _ptr(src), src.size, _ptr(refa), refa.size, _ptr(dic), dic.size
+    )
+    return n >= 0
+
+
 def _raise_decompress_error(code: int, expected: int, actual: int):
     from ..block import errors as E
 

@@ -221,6 +221,7 @@ enum : int64_t {
     TLZ4_ERR_EXPECTED_ANOTHER_BYTE = -3,
     TLZ4_ERR_OFFSET_ZERO           = -4,
     TLZ4_ERR_OFFSET_OOB            = -5,
+    TLZ4_ERR_VERIFY_MISMATCH       = -6,
 };
 
 // Copy `len` bytes from out[dpos-offset..] to out[dpos..], allowing overlap
@@ -376,6 +377,131 @@ TLZ4_API int64_t tlz4_decompress_block(
         }
     }
     return (int64_t)(out_pos - start_pos);
+}
+
+// Size-only token walk: returns the decoded size of one block (or a
+// negative error). The cheap form of tlz4_parse_sequences for callers that
+// only need total_out (ring-plan staging, batched dispatch) — it reads
+// only token and LSIC bytes (~n/13 of the stream) and skips literal runs,
+// so it costs ~0.1 ms where the full parse costs ~1.5 (measured, 2 MiB of
+// payloads). Validation is structural only; the plan build re-walks and
+// validates positions.
+TLZ4_API int64_t tlz4_measure_block(const uint8_t* input, size_t input_len)
+{
+    size_t ip = 0;
+    int64_t out = 0;
+    if (input_len == 0) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+    for (;;) {
+        if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+        uint8_t token = input[ip++];
+        size_t lit_len = token >> 4;
+        if (lit_len == 0xF) {
+            for (;;) {
+                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                uint8_t b = input[ip++];
+                lit_len += b;
+                if (b != 0xFF) break;
+            }
+        }
+        if (lit_len > input_len - ip) return TLZ4_ERR_LITERAL_OOB;
+        out += (int64_t)lit_len;
+        ip += lit_len;
+        if (ip >= input_len) break; // final literal-only sequence
+        if (input_len - ip < 2) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+        size_t offset = load16(input + ip);
+        ip += 2;
+        if (offset == 0) return TLZ4_ERR_OFFSET_ZERO;
+        size_t match_len = token & 0xF;
+        if (match_len == 0xF) {
+            for (;;) {
+                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                uint8_t b = input[ip++];
+                match_len += b;
+                if (b != 0xFF) break;
+            }
+        }
+        out += (int64_t)(match_len + MINMATCH);
+    }
+    return out;
+}
+
+// Verify decode(input, ext_dict) == ref WITHOUT materializing the output:
+// one token-walk pass comparing literal bytes against ref and each match's
+// source span against its target span inside ref. Sound because a verified
+// output prefix equals ref byte-for-byte, so the decoder's self-referential
+// reads (out[op-offset+i], which may include bytes this same match wrote)
+// reduce by induction to ref[op-offset+i] == ref[op+i] — exactly what the
+// memcmp checks, overlap included. This is the collision guard for the
+// device encoders' fingerprinted LCP stage (ops/encode.py: a fingerprint
+// collision can only emit an overlong match, which lands here as a byte
+// mismatch). ~2 sequential reads per output byte, zero writes — an order of
+// magnitude cheaper than decode-then-compare, and the reference's
+// always-valid-output contract (/root/reference/src/block/compress.rs:318)
+// holds for every device encode path at this reduced cost.
+TLZ4_API int64_t tlz4_verify_block(
+    const uint8_t* input, size_t input_len,
+    const uint8_t* ref, size_t ref_len,
+    const uint8_t* ext_dict, size_t ext_dict_len)
+{
+    size_t ip = 0, op = 0;
+    if (input_len == 0) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+    for (;;) {
+        if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+        uint8_t token = input[ip++];
+        size_t lit_len = token >> 4;
+        if (lit_len == 0xF) {
+            for (;;) {
+                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                uint8_t b = input[ip++];
+                lit_len += b;
+                if (b != 0xFF) break;
+            }
+        }
+        if (lit_len > input_len - ip) return TLZ4_ERR_LITERAL_OOB;
+        if (lit_len > ref_len - op) return TLZ4_ERR_VERIFY_MISMATCH;
+        if (std::memcmp(input + ip, ref + op, lit_len) != 0)
+            return TLZ4_ERR_VERIFY_MISMATCH;
+        op += lit_len;
+        ip += lit_len;
+
+        if (ip >= input_len) break; // final literal-only sequence
+
+        if (input_len - ip < 2) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+        size_t offset = load16(input + ip);
+        ip += 2;
+        if (offset == 0) return TLZ4_ERR_OFFSET_ZERO;
+        size_t match_len = token & 0xF;
+        if (match_len == 0xF) {
+            for (;;) {
+                if (ip >= input_len) return TLZ4_ERR_EXPECTED_ANOTHER_BYTE;
+                uint8_t b = input[ip++];
+                match_len += b;
+                if (b != 0xFF) break;
+            }
+        }
+        match_len += MINMATCH;
+        if (match_len > ref_len - op) return TLZ4_ERR_VERIFY_MISMATCH;
+        if (offset <= op) {
+            if (std::memcmp(ref + op - offset, ref + op, match_len) != 0)
+                return TLZ4_ERR_VERIFY_MISMATCH;
+            op += match_len;
+        } else {
+            size_t back = offset - op;
+            if (back > ext_dict_len) return TLZ4_ERR_OFFSET_OOB;
+            size_t take = back < match_len ? back : match_len;
+            if (std::memcmp(ext_dict + ext_dict_len - back, ref + op, take) != 0)
+                return TLZ4_ERR_VERIFY_MISMATCH;
+            op += take;
+            match_len -= take;
+            if (match_len) {
+                // remainder continues from the start of out (= ref[0..])
+                if (std::memcmp(ref, ref + op, match_len) != 0)
+                    return TLZ4_ERR_VERIFY_MISMATCH;
+                op += match_len;
+            }
+        }
+    }
+    return op == ref_len ? (int64_t)op : TLZ4_ERR_VERIFY_MISMATCH;
 }
 
 // ---------------------------------------------------------------------------

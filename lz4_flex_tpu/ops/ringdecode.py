@@ -644,8 +644,8 @@ def dispatch_parts_ring(
     plan shape. The dispatch is asynchronous, so the caller can overlap the
     next batch's host plan build with this batch's device execution (the
     pipelined steady state FrameDecoder's device engine runs)."""
+    from .. import native as _native
     from .decode import _as_u8
-    from .sequences import parse_sequences_host
 
     if not interpret and not ring_engine_available():
         return None
@@ -653,10 +653,10 @@ def dispatch_parts_ring(
     for payload, is_comp in parts:
         p = _as_u8(payload)
         if is_comp:
-            seq = parse_sequences_host(p)
-            if max_block_size is not None and seq.total_out > max_block_size:
-                raise block_errors.OutputTooSmall(seq.total_out, max_block_size)
-            total += seq.total_out
+            n_out = _native.measure_block(p)
+            if max_block_size is not None and n_out > max_block_size:
+                raise block_errors.OutputTooSmall(n_out, max_block_size)
+            total += n_out
         else:
             total += p.shape[0]
     if total == 0:

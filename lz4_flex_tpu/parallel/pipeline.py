@@ -245,20 +245,23 @@ def encode_blocks_sharded(
     payloads = [out_h[i, : total_h[i]].tobytes() for i in range(nblocks)]
     lens = [int(tlen[i] - dlen[i]) for i in range(nblocks)]
     if verify:
-        from ..block import compress_with_dict, decompress_with_dict
-        from ..block.errors import DecompressError
+        # Zero-write native verify walk per payload (the fingerprint-
+        # collision guard; see ops/encode.py:_finish_device_block) —
+        # replaces the old decode-then-compare pass at ~1/10 the cost.
+        from .. import native as _native
+        from ..block import compress_with_dict
 
         buf = rows  # staged rows hold dict ++ data per block
         for i in range(nblocks):
             d, t = int(dlen[i]), int(tlen[i])
-            blk = buf[i, d:t].tobytes()
-            dic = buf[i, :d].tobytes()
             try:
-                ok = decompress_with_dict(payloads[i], t - d, dic) == blk
-            except DecompressError:
+                ok = _native.verify_block(payloads[i], buf[i, d:t], buf[i, :d])
+            except Exception:
                 ok = False
             if not ok:  # pragma: no cover - fingerprint collision path
-                payloads[i] = compress_with_dict(blk, dic)
+                payloads[i] = compress_with_dict(
+                    buf[i, d:t].tobytes(), buf[i, :d].tobytes()
+                )
     return payloads, lens
 
 
@@ -332,6 +335,112 @@ def roundtrip_step_sharded(data, block_size: int, *, mesh=None):
     )
 
 
+import os as _os
+import threading as _threading
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_plan_pool_lock = _threading.Lock()
+_plan_pool: list = [None]
+
+
+def _plan_executor() -> _TPE:
+    """Persistent thread pool for concurrent per-device plan builds.
+
+    Persistent (not per-call) because each worker thread owns a rotating
+    ~50 MB record-array pool (ops/ringdecode.py:_record_arrays is
+    thread-local); a fresh pool per call would re-pay the page-fault storm
+    the pooling exists to avoid."""
+    with _plan_pool_lock:
+        if _plan_pool[0] is None:
+            _plan_pool[0] = _TPE(
+                max_workers=max(2, _os.cpu_count() or 2),
+                thread_name_prefix="tlz4-plan",
+            )
+        return _plan_pool[0]
+
+
+def _stage_ring_group(g, block_size: int, nthreads: int):
+    """Parse + plan-build + copy-out for one device's block span.
+
+    Returns (arrs, sizes) with pool-independent arrays, ([], sizes) for an
+    all-empty span, or None when the span does not fit the static plan
+    shape. Runs on the plan executor — the native parse/build calls release
+    the GIL, so G groups build concurrently (SCALING.md §3's one-host-feeds-
+    N-chips premise) with the builder's internal lanes split G ways.
+    """
+    from .. import native as _native
+    from ..ops import ringdecode as RD
+
+    parts = [(np.frombuffer(p, np.uint8), True) for p in g]
+    sizes = []
+    for q, _ in parts:
+        n_out = _native.measure_block(q)
+        if n_out > block_size:
+            from ..block import errors as block_errors
+
+            raise block_errors.OutputTooSmall(n_out, block_size)
+        sizes.append(n_out)
+    total = int(sum(sizes))
+    if total == 0:
+        return [], sizes
+    plan, _ = RD.build_ring_plan_parts(
+        parts, total, independent=True, nthreads=nthreads
+    )
+    if plan is None:
+        return None
+    arrs = list(RD.ring_plan_device_arrays(plan))
+    # Copy the record fields out (they may be pool-backed views this
+    # thread's next build would reuse), sliced to the fire rows this group
+    # can actually execute — typical plans use about half the static NFMAX
+    # allocation, so this halves staging memory and upload bytes.
+    nf_used = max(8, -(-int(plan.nf_tot.max() or 1) // 8) * 8)
+    nf_used = min(nf_used, arrs[3].shape[1])
+    dnt_b = arrs[0].shape[0]
+    nfw_full = arrs[1].shape[0] // dnt_b
+    nfw_used = -(-nf_used // 32)
+    # .copy(), NOT ascontiguousarray: a sliced view with a size-1
+    # leading dim counts as contiguous, and ascontiguousarray would
+    # return the pool-backed view itself — which the 2-generation plan
+    # pool then overwrites two builds later (observed corruption).
+    arrs[1] = (
+        arrs[1].reshape(dnt_b, nfw_full)[:, :nfw_used].copy().reshape(-1)
+    )
+    arrs[2] = arrs[2].copy()  # literal image (pool-backed too)
+    for k in range(3, 6):
+        arrs[k] = arrs[k][:, :nf_used].copy()
+    return arrs, sizes
+
+
+def stage_ring_groups(groups, block_size: int):
+    """Build every group's ring plan CONCURRENTLY on the plan executor.
+
+    Returns the staged list (None entries for empty groups), or None when
+    any group overflows the static plan shape. Concurrent builds run at ONE
+    internal lane each (``nthreads=1`` skips the native WorkPool entirely —
+    its job mutex would convoy concurrent multi-lane builds); the executor
+    provides the parallelism across groups instead. On a host with >= G
+    cores the per-chip builds overlap end to end (plan wall ≈ slowest
+    single group, not the sum — benchmarks/scaling.py reports the wall as
+    devices grow)."""
+    live = sum(1 for g in groups if g)
+    if live == 0:
+        return [None if not g else ([], []) for g in groups]
+    if live == 1:
+        staged = []
+        for g in groups:
+            staged.append(_stage_ring_group(g, block_size, 0) if g else None)
+        return None if any(s is None and g for s, g in zip(staged, groups)) else staged
+    ex = _plan_executor()
+    futs = [
+        ex.submit(_stage_ring_group, g, block_size, 1) if g else None
+        for g in groups
+    ]
+    staged = [f.result() if f is not None else None for f in futs]
+    if any(f is not None and s is None for f, s in zip(futs, staged)):
+        return None
+    return staged
+
+
 def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
                                interpret: bool | None = None):
     """Ring-engine mesh decode: each device runs the production Pallas ring
@@ -339,15 +448,15 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
 
     Per-device plan build (each host plans its addressable blocks — SURVEY
     §2.3's inter-block parallelism; reference analog: independent blocks,
-    /root/reference/src/frame/header.rs:85-87), plans padded to one static
-    shape and sharded over the mesh, ONE shard_map dispatch fires every
-    chip's kernel. Returns list[bytes], or None when any span does not fit
-    the static plan shape (caller falls back to the XLA expansion path).
-    ``interpret`` defaults to True off-TPU so the virtual CPU mesh (tests,
-    dryrun) executes the same code path.
+    /root/reference/src/frame/header.rs:85-87) runs CONCURRENTLY per group
+    on a host thread pool, plans padded to one static shape and sharded
+    over the mesh, ONE shard_map dispatch fires every chip's kernel.
+    Returns list[bytes], or None when any span does not fit the static plan
+    shape (caller falls back to the XLA expansion path). ``interpret``
+    defaults to True off-TPU so the virtual CPU mesh (tests, dryrun)
+    executes the same code path.
     """
     from ..ops import ringdecode as RD
-    from ..ops.sequences import parse_sequences_host
 
     if mesh is None:
         mesh = codec_mesh()
@@ -359,51 +468,9 @@ def decode_blocks_sharded_ring(payloads, block_size: int, *, mesh=None,
     per = -(-nblocks // ndev) if nblocks else 1
     groups = [payloads[i * per : (i + 1) * per] for i in range(ndev)]
 
-    # Per-device plans, materialized to device-shaped numpy immediately:
-    # the plan pool rotates every build, so each group's record arrays are
-    # copied out (np.copy) before the next build invalidates them.
-    staged = []  # (arrs, block_sizes)
-    for g in groups:
-        if not g:
-            staged.append(None)
-            continue
-        parts = [(np.frombuffer(p, np.uint8), True) for p in g]
-        sizes = []
-        for q, _ in parts:
-            seq = parse_sequences_host(q)
-            if seq.total_out > block_size:
-                from ..block import errors as block_errors
-
-                raise block_errors.OutputTooSmall(seq.total_out, block_size)
-            sizes.append(seq.total_out)
-        total = int(sum(sizes))
-        if total == 0:
-            staged.append(([], sizes))
-            continue
-        plan, _ = RD.build_ring_plan_parts(parts, total, independent=True)
-        if plan is None:
-            return None
-        arrs = list(RD.ring_plan_device_arrays(plan))
-        # Copy the record fields out (they may be pool-backed views the next
-        # group's build would reuse), sliced to the fire rows this group can
-        # actually execute — typical plans use about half the static NFMAX
-        # allocation, so this halves staging memory and upload bytes.
-        nf_used = max(8, -(-int(plan.nf_tot.max() or 1) // 8) * 8)
-        nf_used = min(nf_used, arrs[3].shape[1])
-        dnt_b = arrs[0].shape[0]
-        nfw_full = arrs[1].shape[0] // dnt_b
-        nfw_used = -(-nf_used // 32)
-        # .copy(), NOT ascontiguousarray: a sliced view with a size-1
-        # leading dim counts as contiguous, and ascontiguousarray would
-        # return the pool-backed view itself — which the 2-generation plan
-        # pool then overwrites two builds later (observed corruption).
-        arrs[1] = (
-            arrs[1].reshape(dnt_b, nfw_full)[:, :nfw_used].copy().reshape(-1)
-        )
-        arrs[2] = arrs[2].copy()  # literal image (pool-backed too)
-        for k in range(3, 6):
-            arrs[k] = arrs[k][:, :nf_used].copy()
-        staged.append((arrs, sizes))
+    staged = stage_ring_groups(groups, block_size)
+    if staged is None:
+        return None
 
     live = [s for s in staged if s and s[0]]
     if not live:

@@ -215,3 +215,76 @@ def test_proptest_random_roundtrips():
         data = b"".join(parts)
         comp = block.compress_prepend_size(data)
         assert block.decompress_size_prepended(comp) == data
+
+
+def test_native_verify_block():
+    """Zero-write verify walk (tlz4_verify_block): must agree with the real
+    decoder on valid payloads, corrupted payloads, corrupted references,
+    dict-referencing matches, overlap/RLE matches, and empty blocks."""
+    from lz4_flex_tpu import native
+
+    rng = random.Random(99)
+    vocab = [
+        bytes(rng.randrange(97, 123) for _ in range(rng.randrange(3, 9)))
+        for _ in range(64)
+    ]
+    data = b" ".join(vocab[rng.randrange(len(vocab))] for _ in range(20000))
+    comp = block.compress(data)
+    assert native.verify_block(comp, data)
+    bad = bytearray(data)
+    bad[len(bad) // 2] ^= 1
+    assert not native.verify_block(comp, bytes(bad))
+    badc = bytearray(comp)
+    badc[len(badc) // 3] ^= 0x10
+    assert not native.verify_block(bytes(badc), data)
+    # short/long reference both mismatch
+    assert not native.verify_block(comp, data + b"x")
+    assert not native.verify_block(comp, data[:-1])
+    # dict-referencing matches: every dict flip that changes the decode
+    # must be detected (and flips that don't, must not false-positive)
+    dic = b"The quick brown fox jumps over the lazy dog. " * 50
+    tail = dic[:400] + b" and then something else entirely 123"
+    cd = block.compress_with_dict(tail, dic)
+    assert native.verify_block(cd, tail, dic)
+    for pos in range(len(dic) - 120, len(dic)):
+        flip = bytearray(dic)
+        flip[pos] ^= 1
+        try:
+            changed = (
+                block.decompress_with_dict(cd, len(tail), bytes(flip)) != tail
+            )
+        except E.DecompressError:
+            changed = True
+        assert native.verify_block(cd, tail, bytes(flip)) == (not changed)
+    # RLE / overlapping matches
+    rle = b"a" * 100000 + b"xyz"
+    crle = block.compress(rle)
+    assert native.verify_block(crle, rle)
+    flip = bytearray(rle)
+    flip[50000] ^= 1
+    assert not native.verify_block(crle, bytes(flip))
+    # empty block
+    assert native.verify_block(block.compress(b""), b"")
+
+
+def test_native_measure_block():
+    """Size-only walk must match the full decode size on every corpus shape,
+    and raise the error taxonomy on truncation."""
+    from lz4_flex_tpu import native
+
+    rng = random.Random(7)
+    for data in (
+        b"",
+        b"a",
+        b"a" * 5000,
+        bytes(rng.randrange(256) for _ in range(3000)),
+        b" ".join(
+            bytes(rng.randrange(97, 123) for _ in range(rng.randrange(3, 9)))
+            for _ in range(5000)
+        ),
+    ):
+        comp = block.compress(data)
+        assert native.measure_block(comp) == len(data)
+    comp = block.compress(b"hello hello hello hello hello")
+    with pytest.raises(E.DecompressError):
+        native.measure_block(comp[: len(comp) // 2])
