@@ -1028,27 +1028,30 @@ struct RingTile {
     RecArena* arena;
     // stream id 2*group + periodic, group = 1+d matches (literals bypass)
     std::vector<GroupStream>* gs;
-    // Sparse piece index for the lazy origin chase: entry i covers output
-    // positions [ppos[i], ppos[i+1]) (last entry to te). pval[i] >= 0 is a
-    // literal fragment whose byte at x is input[pval[i] + (x - ppos[i])];
-    // pval[i] < 0 is a match piece with offset -pval[i] (byte at x copies
-    // x + pval[i]). Entries are appended in output order by the seq loop,
-    // and every in-tile byte below the emit cursor is covered. rowidx[r]
-    // is the index of the first entry at output row >= r (filled through
-    // filled_row), bounding each chase lookup to one row's entries.
-    std::vector<int32_t>* ppos;
-    std::vector<int32_t>* pval;
+    // Sparse piece index for the lazy origin chase, PACKED one entry per
+    // int64: high 32 bits = output position p, low 32 = value v (one
+    // push_back instead of two parallel vectors — the seq loop pushes ~2
+    // entries per sequence). Entry i covers output positions [p_i, p_{i+1})
+    // (last entry to te). v >= 0 is a literal fragment whose byte at x is
+    // input[v + (x - p_i)]; v < 0 is a match piece with offset -v (byte at
+    // x copies x + v). Entries are appended in output order by the seq
+    // loop, and every in-tile byte below the emit cursor is covered.
+    // rowidx[r] is the index of the first entry at output row >= r (filled
+    // through filled_row), bounding each chase lookup to one row's entries.
+    std::vector<int64_t>* pidx;
     std::vector<int32_t>* rowidx;
     int32_t filled_row = -1;
 };
 
+static inline int32_t idx_pos(int64_t e) { return (int32_t)(e >> 32); }
+static inline int32_t idx_val(int64_t e) { return (int32_t)e; }
+
 TLZ4_HOT inline void idx_push(RingTile& c, int32_t p, int32_t v) {
     int32_t rp = (int32_t)(((int64_t)p - c.ts) >> 7);
-    int32_t n = (int32_t)c.ppos->size();
+    int32_t n = (int32_t)c.pidx->size();
     for (int32_t r = c.filled_row + 1; r <= rp; r++) (*c.rowidx)[r] = n;
     if (rp > c.filled_row) c.filled_row = rp;
-    c.ppos->push_back(p);
-    c.pval->push_back(v);
+    c.pidx->push_back(((int64_t)p << 32) | (uint32_t)v);
 }
 
 // Lazy chase: resolve a source span into <= cap affine runs over comp
@@ -1091,27 +1094,27 @@ static void lazy_chase(const RingTile& c, int64_t lo, int64_t hi,
         if (!R.ok || rhi >= hi) return;
         lo = rhi;
     }
-    const std::vector<int32_t>& pos = *c.ppos;
-    const std::vector<int32_t>& val = *c.pval;
+    const std::vector<int64_t>& pidx = *c.pidx;
     // last entry with pos <= lo (coverage guarantees pos[0] == ts <= lo):
     // the row index bounds the search to one output row's entries.
-    size_t n = pos.size();
+    size_t n = pidx.size();
     int32_t r = (int32_t)((lo - c.ts) >> 7);
     const std::vector<int32_t>& ri = *c.rowidx;
     size_t a = r <= c.filled_row ? (size_t)(ri[r] > 0 ? ri[r] - 1 : 0) : n - 1;
     size_t b = r < c.filled_row ? (size_t)ri[r + 1] : n;
     while (a < b) {
         size_t m = (a + b) / 2;
-        if ((int64_t)pos[m] <= lo) a = m + 1; else b = m;
+        if ((int64_t)idx_pos(pidx[m]) <= lo) a = m + 1; else b = m;
     }
     size_t i = a - 1;
     while (lo < hi) {
         if (++R.nodes > R.node_budget) { R.ok = false; return; }
-        int64_t e_end = (i + 1 < pos.size()) ? (int64_t)pos[i + 1] : c.te;
+        int64_t e_end = (i + 1 < n) ? (int64_t)idx_pos(pidx[i + 1]) : c.te;
         int64_t seg_hi = hi < e_end ? hi : e_end;
-        int32_t v = val[i];
+        int32_t v = idx_val(pidx[i]);
         if (v >= 0) {
-            lazy_push_run(R, 0, (int64_t)v + (lo - pos[i]), seg_hi - lo);
+            lazy_push_run(R, 0, (int64_t)v + (lo - idx_pos(pidx[i])),
+                          seg_hi - lo);
         } else {
             lazy_chase(c, lo + v, seg_hi + v, R);  // v = -offset
         }
@@ -1237,8 +1240,17 @@ int ring_pack_tile(RingTile& c) {
         int64_t lslots[18] = {0};
         auto close_fire = [&](int64_t upto) {  // pad [k, upto), flag, reset
             if (upto > k) {
-                stamp_i32(g.f0, tbase + k, tbase + upto, 0);
-                stamp_i32(g.f1, tbase + k, tbase + upto, 127 << 7);
+                // Only f2's row sentinel is load-bearing for a pad slot:
+                // row == tile_rows makes the kernel's lane mask (row < TR)
+                // AND the scatter one-hot (rowsTR == row) both reject the
+                // record, so garbage f0/f1 never reaches the output —
+                // pulls land on some row and are discarded. Full stamping
+                // only under TLZ4_DETERMINISTIC (byte-identical plans for
+                // diffing across pool generations / thread counts).
+                if (deterministic_fill) {
+                    stamp_i32(g.f0, tbase + k, tbase + upto, 0);
+                    stamp_i32(g.f1, tbase + k, tbase + upto, 127 << 7);
+                }
                 stamp_i32(g.f2, tbase + k, tbase + upto, g.tile_rows << 7);
             }
             if (fire_per) {
@@ -1406,12 +1418,13 @@ int ring_pack_tile(RingTile& c) {
         // The arrays arrive uninitialized (np.empty — zeroing them per
         // call costs more than the build itself) and fires beyond nf_tot
         // never execute, so only the pad slots inside each group's
-        // fire-rounded span need sentinel stamping (row = tile_rows
-        // scatters nowhere, P = 128 keeps lane math benign; f0/f1 are
-        // stamped too so plans stay byte-deterministic across thread
-        // counts and pool generations).
-        stamp_i32(g.f0, tbase + base + cnt, tbase + gend, 0);
-        stamp_i32(g.f1, tbase + base + cnt, tbase + gend, 127 << 7);
+        // fire-rounded span need sentinel stamping. f2's row sentinel
+        // (row = tile_rows) alone makes the kernel reject the record (see
+        // close_fire above); f0/f1 stamping only under TLZ4_DETERMINISTIC.
+        if (deterministic_fill) {
+            stamp_i32(g.f0, tbase + base + cnt, tbase + gend, 0);
+            stamp_i32(g.f1, tbase + base + cnt, tbase + gend, 127 << 7);
+        }
         stamp_i32(g.f2, tbase + base + cnt, tbase + gend, g.tile_rows << 7);
         if (prof_on) {
             int gx = gi < 17 ? gi : 17;
@@ -1871,11 +1884,19 @@ struct alignas(128) ParseItem {  // two lines: keep workers' hot vector
     uint8_t stored = 0;
     int64_t ip0 = 0, seg_end = 0;  // walk [ip0, first token start >= seg_end)
     std::vector<RingSeq> seqs;     // out_off = walk-local opos (starts at 0)
-    std::vector<int32_t> tok;      // per-seq token start, relative to ip0
     int64_t end_ip = -1;  // first token start >= seg_end; -2 = hit block end
     int64_t out_total = 0;
     int64_t err = 0;  // structural parse error (real only if chain-adopted)
 };
+
+// Token start of sequence q, relative to ip0 — RECONSTRUCTED from the
+// sequence record instead of stored per-seq (the former tok vector cost a
+// push_back + 4 B of traffic per sequence in every speculative walk):
+// lit_start - 1 (token byte) - LSIC extension byte count.
+static inline int32_t tok_rel_of(const RingSeq& q, int64_t ip0) {
+    int32_t ext = q.lit_len < 15 ? 0 : (q.lit_len - 15) / 255 + 1;
+    return (int32_t)((int64_t)q.lit_start - ip0) - 1 - ext;
+}
 
 // Walk one segment. When `spec` is given (stitch repair), the walk stops as
 // soon as its cursor lands on one of spec's recorded token starts — the two
@@ -1886,7 +1907,6 @@ void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
                    const ParseItem* spec = nullptr,
                    int64_t* merge_k = nullptr) {
     it.seqs.clear();
-    it.tok.clear();
     it.end_ip = -1;
     it.out_total = 0;
     it.err = 0;
@@ -1914,15 +1934,17 @@ void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
         }
         if (spec) {  // monotone cursor: O(1) amortized merge detection
             int32_t rel = (int32_t)(ip - spec->ip0);
-            while (spec_cur < spec->tok.size() && spec->tok[spec_cur] < rel)
+            const size_t sn = spec->seqs.size();
+            while (spec_cur < sn &&
+                   tok_rel_of(spec->seqs[spec_cur], spec->ip0) < rel)
                 spec_cur++;
-            if (spec_cur < spec->tok.size() && spec->tok[spec_cur] == rel) {
+            if (spec_cur < sn &&
+                tok_rel_of(spec->seqs[spec_cur], spec->ip0) == rel) {
                 *merge_k = (int64_t)spec_cur;
                 it.end_ip = ip;
                 break;
             }
         }
-        const int64_t tstart = ip;
         uint8_t token = input[ip++];
         int64_t ll = token >> 4;
         if (ll == 0xF) {
@@ -1945,7 +1967,6 @@ void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
                 q.match_len = 0;
                 q.match_off = 0;
                 it.seqs.push_back(q);
-                it.tok.push_back((int32_t)(tstart - it.ip0));
                 it.end_ip = -2;
                 break;
             }
@@ -1966,7 +1987,6 @@ void parse_segment(const uint8_t* input, int64_t blk_end, ParseItem& it,
             q.match_off = (uint16_t)offset;
             q.match_len = (int32_t)ml;
             it.seqs.push_back(q);
-            it.tok.push_back((int32_t)(tstart - it.ip0));
             opos += ml;
         }
     }
@@ -2087,11 +2107,16 @@ int64_t ring_parse_parallel(
             int64_t k = -1;
             if (L == it->ip0) {
                 k = 0;
-            } else if (L > it->ip0 && !it->tok.empty()) {
+            } else if (L > it->ip0 && !it->stored && !it->seqs.empty()) {
                 int32_t rel = (int32_t)(L - it->ip0);
-                auto lo = std::lower_bound(it->tok.begin(), it->tok.end(), rel);
-                if (lo != it->tok.end() && *lo == rel)
-                    k = lo - it->tok.begin();
+                const int64_t ip0 = it->ip0;
+                auto lo = std::lower_bound(
+                    it->seqs.begin(), it->seqs.end(), rel,
+                    [ip0](const RingSeq& q, int32_t r) {
+                        return tok_rel_of(q, ip0) < r;
+                    });
+                if (lo != it->seqs.end() && tok_rel_of(*lo, ip0) == rel)
+                    k = lo - it->seqs.begin();
             }
             if (k < 0) {
                 // Chain enters off this walk's token set: repair-walk from
@@ -2163,21 +2188,20 @@ int ring_build_tile(const RingShared& g, const SeqView* views,
     // the steady state allocates nothing.
     static thread_local RecArena arena_tls;
     static thread_local std::vector<GroupStream> gs_tls;
-    static thread_local std::vector<int32_t> ppos_tls, pval_tls, rowidx_tls;
+    static thread_local std::vector<int64_t> pidx_tls;
+    static thread_local std::vector<int32_t> rowidx_tls;
     static thread_local std::vector<uint8_t> depth_tls;
     RingTile c;
     c.g = &g;
     c.t = t;
     arena_tls.reset();
     gs_tls.clear();
-    ppos_tls.clear();
-    pval_tls.clear();
+    pidx_tls.clear();
     if ((int32_t)rowidx_tls.size() < g.tile_rows + 1)
         rowidx_tls.resize(g.tile_rows + 1);
     c.arena = &arena_tls;
     c.gs = &gs_tls;
-    c.ppos = &ppos_tls;
-    c.pval = &pval_tls;
+    c.pidx = &pidx_tls;
     c.rowidx = &rowidx_tls;
     c.filled_row = -1;
     c.tbase = (int64_t)t * g.rb * g.nfmax;
