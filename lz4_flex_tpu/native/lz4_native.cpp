@@ -1221,168 +1221,240 @@ int ring_pack_tile(RingTile& c) {
     const size_t nstreams = c.gs->size();
 
     if (!hard_groups) {
-        // ---- match groups: soft boundaries ----
-        int64_t k = 0;
-        // Two write-row sets per open fire: W collects every append; Wfz
-        // (frozen) holds only writes from groups STRICTLY BELOW the current
-        // one — candidates are checked against Wfz alone, because a group-d
-        // record's sources (bytes of depth < d) can never be bytes written
-        // by same-group records (each byte has exactly one depth), so
-        // same-group row sharing is provably safe and must not pad.
+        // ---- dense packing with reserved-fire deferral (round 5) ----
+        // The former scheme (soft boundaries + pending-defer) still closed
+        // a fire at every (group, pending) flush, leaving the plan at ~50%
+        // fire fill (5334 fires for 685K records on the 10 MB text corpus
+        // = 2x the 2678-fire minimum). This packer closes a fire ONLY when
+        // it is full: per tile row it tracks the highest fire index that
+        // wrote the row at a strictly-lower depth group (lastw, folded
+        // from a per-group staging array at group advance so same-group
+        // writes never constrain — a depth-d record's sources are bytes
+        // of depth < d and byte depths are unique), and a record whose
+        // read rows were lower-group-written in the open fire defers with
+        // an exact RESERVED fire index (max lastw of its read rows + 1),
+        // draining the moment that fire opens. Reservations are exact:
+        // the fire opens empty and drains before the scan refills it, so
+        // later readers constrained against the reservation stay sound; a
+        // drain that would spill past its reserved fire (>RB same-fire
+        // reservations — unobserved in practice) bails the tile to the
+        // hard-groups packer below. Record order across groups is free in
+        // exactly the hazard-graph sense: fire f executes all reads
+        // before its writes, and a higher-group write never constrains a
+        // lower-group reader (distinct byte depths). Measured: 5334 ->
+        // ~2900 fires, kernel time scales with fires.
         const int32_t WR = g.window_rows, TR = g.tile_rows;
-        uint64_t W[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-        uint64_t Wfz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        static thread_local std::vector<int32_t> lastw_v, stage_v;
+        if ((int32_t)lastw_v.size() < TR) {
+            lastw_v.resize(TR);
+            stage_v.resize(TR);
+        }
+        int32_t* lastw = lastw_v.data();
+        int32_t* stage = stage_v.data();
+        std::memset(lastw, 0xFF, (size_t)TR * 4);  // -1
+        std::memset(stage, 0xFF, (size_t)TR * 4);
+        int32_t gmax = -1, stagemax = -1;  // max(lastw[]), max(stage[])
+        struct Pend {
+            int32_t v0, v1, v2, minfire;
+            uint8_t per;
+        };
+        static thread_local std::vector<Pend> pend;
+        pend.clear();
+        size_t pcur = 0;  // consumed prefix of pend
+        int64_t k = 0;
+        int64_t fcur = 0;  // open fire index == k / RB
         bool fire_per = false;
-        // Per-tile local profiling counters: a per-RECORD atomic fetch_add
-        // here measured 2x the whole plan-build wall (1.5 M contended
-        // atomics across 8 threads) — profiling must not distort what it
-        // measures. Flushed once per tile below.
         int64_t lslots[18] = {0};
-        auto close_fire = [&](int64_t upto) {  // pad [k, upto), flag, reset
+        int32_t cur_gi = 1;
+        bool bail = false;  // reservation spill -> hard-groups fallback
+        bool ovf = false;
+
+        auto place = [&](int32_t v0, int32_t v1, int32_t v2, bool per) {
+            g.f0[tbase + k] = v0;
+            g.f1[tbase + k] = v1;
+            g.f2[tbase + k] = v2;
+            int32_t w = (v2 >> 7) & 511;
+            if (stage[w] < (int32_t)fcur) stage[w] = (int32_t)fcur;
+            if ((int32_t)fcur > stagemax) stagemax = (int32_t)fcur;
+            fire_per |= per;
+            lslots[cur_gi < 17 ? cur_gi : 17]++;
+            k++;
+        };
+        // Advance to the next fire: flag periodic, drain reservations for
+        // the newly opened fire (which may fill it and cascade).
+        auto open_next_fire = [&]() {
+            if (fire_per) {
+                g.fper[(int64_t)c.t * nfw + (fcur >> 5)] |=
+                    1 << (fcur & 31);
+                fire_per = false;
+            }
+            fcur++;
+            while (pcur < pend.size() && !bail && !ovf) {
+                // drain every reservation for fcur (pend is scanned in
+                // order; consumed entries null out via minfire = -1)
+                bool any = false, future = false;
+                for (size_t i = pcur; i < pend.size(); i++) {
+                    Pend& p = pend[i];
+                    if (p.minfire < 0) continue;
+                    if (p.minfire > (int32_t)fcur) { future = true; continue; }
+                    if (p.minfire < (int32_t)fcur) { bail = true; return; }
+                    if (k >= cap) { ovf = true; return; }
+                    if (k / RB != fcur) { bail = true; return; }  // spill
+                    place(p.v0, p.v1, p.v2, p.per != 0);
+                    p.minfire = -1;
+                    any = true;
+                    if (!(k % RB)) break;  // fire filled mid-drain
+                }
+                while (pcur < pend.size() && pend[pcur].minfire < 0) pcur++;
+                if (!(k % RB) && k && (any || !future)) {
+                    if (pcur < pend.size()) {
+                        // filled exactly: advance and keep draining
+                        if (fire_per) {
+                            g.fper[(int64_t)c.t * nfw + (fcur >> 5)] |=
+                                1 << (fcur & 31);
+                            fire_per = false;
+                        }
+                        fcur++;
+                        continue;
+                    }
+                }
+                break;
+            }
+        };
+        auto close_fire = [&]() {  // pad the open fire to its boundary
+            int64_t upto = ((k + RB - 1) / RB) * RB;
+            if (upto > cap) { ovf = true; return; }
             if (upto > k) {
-                // Only f2's row sentinel is load-bearing for a pad slot:
-                // row == tile_rows makes the kernel's lane mask (row < TR)
-                // AND the scatter one-hot (rowsTR == row) both reject the
-                // record, so garbage f0/f1 never reaches the output —
-                // pulls land on some row and are discarded. Full stamping
-                // only under TLZ4_DETERMINISTIC (byte-identical plans for
-                // diffing across pool generations / thread counts).
                 if (deterministic_fill) {
                     stamp_i32(g.f0, tbase + k, tbase + upto, 0);
                     stamp_i32(g.f1, tbase + k, tbase + upto, 127 << 7);
                 }
                 stamp_i32(g.f2, tbase + k, tbase + upto, g.tile_rows << 7);
+                k = upto;
             }
-            if (fire_per) {
-                int64_t f = (upto - 1) / RB;
-                g.fper[(int64_t)c.t * nfw + (f >> 5)] |= 1 << (f & 31);
-            }
-            std::memset(W, 0, sizeof(W));
-            std::memset(Wfz, 0, sizeof(Wfz));
-            fire_per = false;
-            k = upto;
+            open_next_fire();
         };
-        bool wfz_any = false;  // Wfz all-zero => no conflict possible
-        // Pending-defer buffers (plain / periodic), per-worker persistent.
-        static thread_local std::vector<int32_t> pd0[2], pd1[2], pd2[2];
-        pd0[0].clear(); pd1[0].clear(); pd2[0].clear();
-        pd0[1].clear(); pd1[1].clear(); pd2[1].clear();
-        int32_t cur_gi = 1;
-        bool ovf = false;
-        // Drain the pending lists into the (fresh) open fire. Only called
-        // right after a close_fire, so Wfz is empty and nothing conflicts.
-        auto drain_pending = [&]() {
-            for (int pp = 0; pp < 2; pp++) {
-                int32_t n = (int32_t)pd0[pp].size();
-                int32_t i = 0;
-                while (i < n) {
-                    int32_t room = (int32_t)(RB - (k % RB));
-                    int32_t m = n - i < room ? n - i : room;
-                    if (k + m > cap) { ovf = true; return; }
-                    stream_copy_i32(g.f0 + tbase + k, pd0[pp].data() + i, m);
-                    stream_copy_i32(g.f1 + tbase + k, pd1[pp].data() + i, m);
-                    stream_copy_i32(g.f2 + tbase + k, pd2[pp].data() + i, m);
-                    for (int32_t q = i; q < i + m; q++) {
-                        int32_t wrow = (pd2[pp][q] >> 7) & 511;
-                        W[wrow >> 6] |= 1ull << (wrow & 63);
-                    }
-                    fire_per |= pp == 1;
-                    lslots[cur_gi < 17 ? cur_gi : 17] += m;
-                    k += m;
-                    i += m;
-                    if (!(k % RB)) close_fire(k);  // Wfz stays empty
-                }
-                pd0[pp].clear(); pd1[pp].clear(); pd2[pp].clear();
-            }
-        };
-        for (int32_t gi = 1; (size_t)2 * gi < nstreams && !ovf; gi++) {
+
+        for (int32_t gi = 1; (size_t)2 * gi < nstreams && !ovf && !bail;
+             gi++) {
             cur_gi = gi;
-            std::memcpy(Wfz, W, sizeof(W));  // freeze prior groups' writes
-            wfz_any = (Wfz[0] | Wfz[1] | Wfz[2] | Wfz[3] | Wfz[4] | Wfz[5] |
-                       Wfz[6] | Wfz[7]) != 0;
-            for (int pass = 0; pass < 2 && !ovf; pass++) {
+            // group advance: same-group stage writes become lower-group
+            // constraints for this group's readers
+            if (stagemax >= 0) {
+                for (int32_t r = 0; r < TR; r++)
+                    if (stage[r] > lastw[r]) lastw[r] = stage[r];
+                if (stagemax > gmax) gmax = stagemax;
+            }
+            for (int pass = 0; pass < 2 && !ovf && !bail; pass++) {
                 size_t sid = 2 * (size_t)gi + pass;
                 if (sid >= nstreams) break;
-                const bool per = pass == 1;  // streams segregate periodic
-                for (RecChunk* ch = (*c.gs)[sid].head; ch && !ovf;
+                const bool per = pass == 1;
+                for (RecChunk* ch = (*c.gs)[sid].head; ch && !ovf && !bail;
                      ch = ch->next) {
                     int32_t i = 0;
-                    while (i < ch->n) {
-                        // span = up to the next fire boundary / chunk end
+                    while (i < ch->n && !ovf && !bail) {
                         int32_t room = (int32_t)(RB - (k % RB));
                         int32_t lim = ch->n - i < room ? ch->n : i + room;
-                        // first conflicting record in [i, lim): a read row
-                        // written by an EARLIER group in the open fire
-                        // (periodic records pull rows r0 and r0+1); Wfz is
-                        // constant within the span, so scan then bulk-copy
                         int32_t j = i;
-                        if (wfz_any) {
+                        int32_t defer_mf = -1;
+                        if (gmax < (int32_t)fcur) {
+                            // no row's lower-group write reaches the open
+                            // fire: the whole span places without checks
+                            j = lim;
+                        } else {
                             for (; j < lim; j++) {
                                 int32_t r0 = (ch->v0[j] >> 7) - WR;
-                                bool hit = (uint32_t)r0 < (uint32_t)TR &&
-                                           ((Wfz[r0 >> 6] >> (r0 & 63)) & 1);
-                                if (per && !hit) {
+                                int32_t mf = 0;
+                                if ((uint32_t)r0 < (uint32_t)TR)
+                                    mf = lastw[r0] + 1;
+                                if (per) {
                                     int32_t r1 = r0 + 1;
-                                    hit = (uint32_t)r1 < (uint32_t)TR &&
-                                          ((Wfz[r1 >> 6] >> (r1 & 63)) & 1);
+                                    if ((uint32_t)r1 < (uint32_t)TR &&
+                                        lastw[r1] + 1 > mf)
+                                        mf = lastw[r1] + 1;
                                 }
-                                if (hit) break;
+                                if (mf > (int32_t)fcur) {
+                                    if (mf >= g.nfmax) { ovf = true; break; }
+                                    defer_mf = mf;
+                                    break;
+                                }
                             }
-                        } else {
-                            j = lim;
+                            if (ovf) break;
                         }
                         if (j > i) {
+                            // bulk-copy the conflict-free prefix [i, j)
                             int32_t m = j - i;
-                            if (k + m > cap) return TLZ4_PLAN_OVF_SLOT;
+                            if (k + m > cap) { ovf = true; break; }
                             stream_copy_i32(g.f0 + tbase + k, ch->v0 + i, m);
                             stream_copy_i32(g.f1 + tbase + k, ch->v1 + i, m);
                             stream_copy_i32(g.f2 + tbase + k, ch->v2 + i, m);
                             for (int32_t q = i; q < j; q++) {
-                                int32_t wrow = (ch->v2[q] >> 7) & 511;
-                                W[wrow >> 6] |= 1ull << (wrow & 63);
+                                int32_t w = (ch->v2[q] >> 7) & 511;
+                                if (stage[w] < (int32_t)fcur)
+                                    stage[w] = (int32_t)fcur;
                             }
+                            if ((int32_t)fcur > stagemax)
+                                stagemax = (int32_t)fcur;
                             fire_per |= per;
                             lslots[gi < 17 ? gi : 17] += m;
                             k += m;
-                            if (!(k % RB)) {
-                                close_fire(k);
-                                wfz_any = false;  // fresh fire: Wfz cleared
-                                drain_pending();
-                                if (ovf) break;
-                            }
                             i = j;
+                            if (!(k % RB)) open_next_fire();
                         }
-                        if (j < lim) {  // conflict at j: defer the record
-                            pd0[per].push_back(ch->v0[j]);
-                            pd1[per].push_back(ch->v1[j]);
-                            pd2[per].push_back(ch->v2[j]);
+                        if (defer_mf >= 0 && !ovf && !bail) {
+                            // defer record j with an exact reservation; its
+                            // write constrains later groups' readers from
+                            // the reserved fire onward
+                            pend.push_back({ch->v0[j], ch->v1[j], ch->v2[j],
+                                            defer_mf, (uint8_t)pass});
+                            int32_t w = (ch->v2[j] >> 7) & 511;
+                            if (stage[w] < defer_mf) stage[w] = defer_mf;
+                            if (defer_mf > stagemax) stagemax = defer_mf;
                             i = j + 1;
                         }
-                        if (k >= cap && i < ch->n) return TLZ4_PLAN_OVF_SLOT;
                     }
                 }
             }
-            // Group-end flush: pending records conflict with the open
-            // fire's earlier-group writes by construction, and the NEXT
-            // group may read rows they write — close and drain before
-            // advancing.
-            if (!ovf &&
-                (!pd0[0].empty() || !pd0[1].empty())) {
-                if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
-                drain_pending();
+        }
+        // tile end: keep closing fires until every reservation drained
+        while (!ovf && !bail && pcur < pend.size()) close_fire();
+        if (!ovf && !bail) {
+            if (k % RB) {
+                int64_t upto = ((k + RB - 1) / RB) * RB;
+                if (upto > cap) {
+                    ovf = true;
+                } else {
+                    if (deterministic_fill) {
+                        stamp_i32(g.f0, tbase + k, tbase + upto, 0);
+                        stamp_i32(g.f1, tbase + k, tbase + upto, 127 << 7);
+                    }
+                    stamp_i32(g.f2, tbase + k, tbase + upto,
+                              g.tile_rows << 7);
+                    if (fire_per)
+                        g.fper[(int64_t)c.t * nfw + (fcur >> 5)] |=
+                            1 << (fcur & 31);
+                    k = upto;
+                }
+            } else if (fire_per && k) {
+                // boundary-exact tile end: open_next_fire already flagged
+                // all full fires; nothing open remains
             }
         }
         if (ovf) return TLZ4_PLAN_OVF_SLOT;
-        if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
-        if (k > cap) return TLZ4_PLAN_OVF_SLOT;
-        g.nf_tot[c.t] = (int32_t)(k / RB);
-        if (prof_on) {
-            for (int i = 0; i < 18; i++)
-                if (lslots[i])
-                    prof_gslots[i].fetch_add(lslots[i],
-                                             std::memory_order_relaxed);
+        if (!bail) {
+            if (k > cap) return TLZ4_PLAN_OVF_SLOT;
+            g.nf_tot[c.t] = (int32_t)(k / RB);
+            if (prof_on) {
+                for (int i = 0; i < 18; i++)
+                    if (lslots[i])
+                        prof_gslots[i].fetch_add(lslots[i],
+                                                 std::memory_order_relaxed);
+            }
+            return 0;
         }
-        return 0;
+        // reservation spill: reset this tile's fper words and repack with
+        // hard group boundaries (always sound, more pads)
+        std::memset(g.fper + (int64_t)c.t * nfw, 0, (size_t)nfw * 4);
     }
 
     int64_t base = 0;

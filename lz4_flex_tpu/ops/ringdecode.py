@@ -326,7 +326,9 @@ def simulate_ring_plan(plan: RingPlan, comp=None) -> bytes:
             P = ((f1 >> 7) & 127) + 1
             lo = (f1 >> 14) & 127
             ln = (f2 & 127) + 1
-            row = (f2 >> 7) & 511
+            # row mask must cover the pad sentinel row == TR (2*TR-1; at
+            # TR=512 a 511 mask would alias the sentinel onto row 0)
+            row = (f2 >> 7) & (2 * TR - 1)
             sub = tbl.reshape(-1)
             idx = S[:, None] + (lane + ph[:, None]) % P[:, None]
             y = sub[np.clip(idx, 0, sub.shape[0] - 1)]
@@ -421,7 +423,9 @@ def _ring_kernel(*refs, TR, WR, RB_, NF, NFW, dt, checksum):
             ph = b1 & 127
             lo = (b1 >> 14) & 127
             lenm1 = b2 & 127
-            row = (b2 >> 7) & 511
+            # 2*TR-1, not 511: must keep the pad sentinel row == TR
+            # distinct from row 0 for any TR (see simulate_ring_plan)
+            row = (b2 >> 7) & (2 * TR - 1)
             rowS = (S >> 7)[:, 0:1]
             oh0 = jnp.where(rowsK == rowS, 1.0, 0.0).astype(dt)
             sub = tbl_ref[sub_lo:sub_hi, :]
