@@ -515,25 +515,34 @@ def main() -> None:
         )
         nrows = -(-n // _CHUNK_C)
         t_kq = t_q / R * nrows  # candidate kernel, whole input
-        # walk-only: re-run the native walk over one fetched group's planes
+        # walk-only: the chunk-PARALLEL walk over one fetched group's
+        # planes (tlz4_hybrid_walk_chunk on the host thread pool — the
+        # production shape since round 5)
+        from lz4_flex_tpu.parallel.pipeline import _plan_executor
+
         quad = np.asarray(_best_plane_quad(gpad, starts4, _PLANE_POOL, _PLANE_STRIDE))
         lib = _hybrid_lib()
-        capb = len(hcomp) * 2 + 4096
-        outw = np.empty(capb, np.uint8)
-
+        ccap = 16 + 4 + (_CHUNK_C * 110) // 100 + 16
+        wirebuf = np.empty(R * ccap, np.uint8)
         planes = [np.ascontiguousarray(quad[i]) for i in range(R)]
+        wx = _plan_executor()
+
+        def walk_chunk(i):
+            tail = np.zeros(1, np.int64)
+            lib.tlz4_hybrid_walk_chunk(
+                G.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), n,
+                planes[i].ctypes.data_as(_ct.POINTER(_ct.c_uint16)),
+                starts4_h[i], i * _CHUNK_C,
+                min((i + 1) * _CHUNK_C, n),
+                _CHUNK_W // _PLANE_POOL, _PLANE_POOL.bit_length() - 1,
+                wirebuf[i * ccap :].ctypes.data_as(_ct.POINTER(_ct.c_uint8)),
+                ccap, 0, tail.ctypes.data_as(_ct.POINTER(_ct.c_int64)),
+            )
 
         def walk_once():
-            state = np.zeros(3, np.int64)
-            for i in range(R):
-                lib.tlz4_hybrid_walk_row(
-                    G.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), n,
-                    planes[i].ctypes.data_as(_ct.POINTER(_ct.c_uint16)),
-                    starts4_h[i], min(starts4_h[i] + _CHUNK_C, n),
-                    _CHUNK_W // _PLANE_POOL, _PLANE_POOL.bit_length() - 1,
-                    state.ctypes.data_as(_ct.POINTER(_ct.c_int64)),
-                    outw.ctypes.data_as(_ct.POINTER(_ct.c_uint8)), capb, 0,
-                )
+            futs = [wx.submit(walk_chunk, i) for i in range(R)]
+            for f in futs:
+                f.result()
 
         t_w = median_time(walk_once, iters=5) / R * nrows
         t_pipe = max(t_kq, t_w)

@@ -839,6 +839,10 @@ WorkPool g_pool;
 // disables deep-piece resolution, which stays CORRECT — deep pieces emit raw
 // records with the depth machinery).
 bool skip_origin = false, skip_scan = false, skip_set = false;
+// finer ablation gates (timing attribution only, output WRONG under all):
+// lit = literal-image copies, idx = piece-index pushes, mat = the
+// materialization memcpys themselves (depth checks still run)
+bool skip_lit = false, skip_idx = false, skip_mat = false;
 // skip_pack: drop ring_pack_tile; skip_push: drop record buffering too
 bool skip_pack = false, skip_push = false;
 // TLZ4_HARD_GROUPS=1: pad every depth group to a whole fire (pre-soft
@@ -1047,6 +1051,7 @@ static inline int32_t idx_pos(int64_t e) { return (int32_t)(e >> 32); }
 static inline int32_t idx_val(int64_t e) { return (int32_t)e; }
 
 TLZ4_HOT inline void idx_push(RingTile& c, int32_t p, int32_t v) {
+    if (skip_idx) return;
     int32_t rp = (int32_t)(((int64_t)p - c.ts) >> 7);
     int32_t n = (int32_t)c.pidx->size();
     for (int32_t r = c.filled_row + 1; r <= rp; r++) (*c.rowidx)[r] = n;
@@ -1559,6 +1564,7 @@ TLZ4_HOT inline int ring_emit_lit_frag(RingTile& c, int64_t p, int64_t pe,
     // 16 B of the tile end (the next tile belongs to a concurrent worker)
     // or the source is within 16 B of the comp buffer end.
     int64_t len = pe - p;
+    if (skip_lit) return 0;
     if (len <= 16 && pe + 16 <= c.te && csrc + 16 <= c.g->input_len) {
         std::memcpy(c.g->lit_init + p, c.g->input + csrc, 16);
         return 0;
@@ -1627,7 +1633,9 @@ TLZ4_HOT inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64
                 : (int32_t)depth_range_max(c.dloc, s0 - c.ts,
                                            s0 + span - c.ts);
         if (dmax == 0) {
-            std::memcpy(gg.lit_init + p0, gg.lit_init + s0, (size_t)span);
+            if (!skip_mat)
+                std::memcpy(gg.lit_init + p0, gg.lit_init + s0,
+                            (size_t)span);
             return 0;
         }
     }
@@ -2440,9 +2448,13 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
         skip_set = std::strstr(sk, "set") != nullptr;
         skip_pack = std::strstr(sk, "pack") != nullptr;
         skip_push = std::strstr(sk, "push") != nullptr;
+        skip_lit = std::strstr(sk, "lit") != nullptr;
+        skip_idx = std::strstr(sk, "idx") != nullptr;
+        skip_mat = std::strstr(sk, "mat") != nullptr;
     } else {
         skip_origin = skip_scan = skip_set = false;
         skip_pack = skip_push = false;
+        skip_lit = skip_idx = skip_mat = false;
     }
     {
         hard_groups = std::getenv("TLZ4_HARD_GROUPS") != nullptr;
@@ -2734,6 +2746,153 @@ TLZ4_API int64_t tlz4_compress_with_candidates(
 // Every plane value is re-verified against G with exact byte compares, so
 // stale/garbage plane slots (row padding, the pooled neighbor's delta, lazy
 // probe past the data region) are ratio-only, never correctness.
+// Chunk-parallel hybrid walk (round 5): one SELF-CONTAINED walk per
+// ~508 KiB chunk — the chunk's dictionary is simply the preceding 64 KiB
+// of the stream (G is the whole stream, offsets reach back freely), so
+// chunks need no carried state and walk on independent host threads
+// (4 cores ~= 4x the serial walk; PERF.md round-5 #4). Differences from
+// the serial resumable walk: matches cap at the chunk limit (one
+// truncated match per ~508 KiB — ratio noise), and a non-final chunk
+// leaves its trailing literal run PENDING (*lit_tail) instead of
+// emitting it: a literal-only sequence is only legal at block end, so
+// tlz4_hybrid_stitch merges each pending run into the next chunk's first
+// sequence header at assembly. Reference analog: one sequential pass
+// (/root/reference/src/block/compress.rs:318-489); the chunking is the
+// TPU build's data-parallel decomposition of it.
+TLZ4_API int64_t tlz4_hybrid_walk_chunk(
+    const uint8_t* G, int64_t g_len,
+    const uint16_t* plane, int64_t row_gstart, int64_t chunk_start,
+    int64_t chunk_limit, int64_t plane_len, int32_t pool_shift,
+    uint8_t* out, int64_t out_cap, int32_t final_chunk,
+    int64_t* lit_tail)
+{
+    const int64_t n = g_len;
+    int64_t p = chunk_start;
+    int64_t lit_start = chunk_start;
+    int64_t op = 0;
+
+    auto write_lsic = [&](int64_t v) {
+        while (v >= 255) { out[op++] = 255; v -= 255; }
+        out[op++] = (uint8_t)v;
+    };
+    auto probe = [&](int64_t q, uint32_t* d_out) -> int64_t {
+        int64_t pl = (q - row_gstart) >> pool_shift;
+        if (q < row_gstart || pl >= plane_len) return 0;
+        uint32_t d = plane[pl];
+        if (!d || (int64_t)d > q) return 0;
+        int64_t cap = n - 5 - q;
+        if (!final_chunk && chunk_limit - q < cap) cap = chunk_limit - q;
+        int64_t l = hybrid_match_len(G, q, q - (int64_t)d, cap);
+        if (l < (int64_t)MINMATCH) return 0;
+        *d_out = d;
+        return l;
+    };
+
+    while (p + (int64_t)MFLIMIT <= n && p < chunk_limit) {
+        uint32_t bd;
+        int64_t l = probe(p, &bd);
+        if (!l) { p++; continue; }
+        if (p + (int64_t)MFLIMIT + 1 <= n && p + 1 < chunk_limit) {
+            uint32_t bd2;
+            int64_t l2 = probe(p + 1, &bd2);
+            if (l2 > l) { p++; continue; }
+        }
+        int64_t c = p - (int64_t)bd;
+        int64_t b = 0;
+        while (p - b > lit_start && c - b > 0 && G[p - b - 1] == G[c - b - 1])
+            b++;
+        int64_t ll = (p - b) - lit_start;
+        int64_t mlc = l + b - (int64_t)MINMATCH;
+        if (op + 1 + ll / 255 + 1 + ll + 2 + mlc / 255 + 1 > out_cap)
+            return -1;
+        out[op++] = (uint8_t)((ll < 15 ? ll : 15) << 4
+                              | (mlc < 15 ? mlc : 15));
+        if (ll >= 15) write_lsic(ll - 15);
+        std::memcpy(out + op, G + lit_start, (size_t)ll);
+        op += ll;
+        store16(out + op, (uint16_t)bd);
+        op += 2;
+        if (mlc >= 15) write_lsic(mlc - 15);
+        p += l;
+        lit_start = p;
+    }
+    if (final_chunk) {
+        int64_t ll = n - lit_start;
+        if (op + 1 + ll / 255 + 1 + ll > out_cap) return -1;
+        out[op++] = (uint8_t)((ll < 15 ? ll : 15) << 4);
+        if (ll >= 15) write_lsic(ll - 15);
+        std::memcpy(out + op, G + lit_start, (size_t)ll);
+        op += ll;
+        lit_start = n;
+    }
+    *lit_tail = lit_start;
+    return op;
+}
+
+// Assemble chunk-parallel walk outputs into one spec-valid block: chunk
+// wires concatenate verbatim except that each pending literal tail from
+// chunk i merges into chunk i+1's first sequence (token/LSIC rewritten to
+// lit_len + pending, pending bytes copied from G before the original
+// literal run). Chunks whose walk found no match contribute no wire and
+// extend the pending run.
+TLZ4_API int64_t tlz4_hybrid_stitch(
+    const uint8_t* G, int64_t g_len,
+    const uint8_t* wires, const int64_t* wire_off, const int64_t* wire_len,
+    const int64_t* chunk_start, const int64_t* lit_tail, int32_t nchunks,
+    uint8_t* out, int64_t out_cap)
+{
+    (void)g_len;
+    int64_t op = 0;
+    int64_t pend = -1;  // pending literal run start in G (exclusive end =
+                        // next chunk's start — runs are contiguous)
+    auto write_lsic = [&](int64_t v) {
+        while (v >= 255) { out[op++] = 255; v -= 255; }
+        out[op++] = (uint8_t)v;
+    };
+    for (int32_t i = 0; i < nchunks; i++) {
+        const uint8_t* w = wires + wire_off[i];
+        int64_t wl = wire_len[i];
+        if (wl == 0) {
+            // matchless chunk: all of it is literal, pending extends
+            // (lit_tail[i] == chunk_start[i] here)
+            if (pend < 0) pend = chunk_start[i];
+            continue;
+        }
+        if (pend >= 0) {
+            int64_t extra = chunk_start[i] - pend;
+            // parse the first sequence's token + LSIC
+            int64_t ip = 0;
+            uint8_t tok = w[ip++];
+            int64_t ll = tok >> 4;
+            if (ll == 15) {
+                for (;;) {
+                    uint8_t x = w[ip++];
+                    ll += x;
+                    if (x != 0xFF) break;
+                }
+            }
+            int64_t nll = ll + extra;
+            if (op + 1 + nll / 255 + 1 + extra + (wl - ip) > out_cap)
+                return -1;
+            out[op++] = (uint8_t)((nll < 15 ? nll : 15) << 4 | (tok & 0xF));
+            if (nll >= 15) write_lsic(nll - 15);
+            std::memcpy(out + op, G + pend, (size_t)extra);
+            op += extra;
+            std::memcpy(out + op, w + ip, (size_t)(wl - ip));
+            op += wl - ip;
+            pend = -1;
+        } else {
+            if (op + wl > out_cap) return -1;
+            std::memcpy(out + op, w, (size_t)wl);
+            op += wl;
+        }
+        if (i < nchunks - 1) pend = lit_tail[i];
+        // zero-length pending (match ended exactly at the chunk limit) is
+        // handled by the merge path with extra == 0
+    }
+    return op;
+}
+
 TLZ4_API int64_t tlz4_hybrid_walk_row(
     const uint8_t* G, int64_t g_len,
     const uint16_t* plane, int64_t row_gstart, int64_t row_limit,

@@ -597,6 +597,19 @@ def _hybrid_lib():
             u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, i64p, u8p, ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.tlz4_hybrid_walk_chunk.restype = ctypes.c_int64
+        lib.tlz4_hybrid_walk_chunk.argtypes = [
+            u8p, ctypes.c_int64,
+            u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+            u8p, ctypes.c_int64, ctypes.c_int32, i64p,
+        ]
+        lib.tlz4_hybrid_stitch.restype = ctypes.c_int64
+        lib.tlz4_hybrid_stitch.argtypes = [
+            u8p, ctypes.c_int64,
+            u8p, i64p, i64p, i64p, i64p, ctypes.c_int32,
+            u8p, ctypes.c_int64,
+        ]
     return lib
 
 
@@ -660,11 +673,15 @@ def compress_block_hybrid(data, ext_dict=b"") -> bytes:
 
 
 def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
-    """Multi-chunk hybrid encode, pipelined: the stream uploads once, each
-    chunk row's u16 best-delta plane is computed on-device and pulled back
-    row by row, and the native resumable walk consumes row i while row
-    i+1's transfer and row i+2's kernel run — steady state is the d2h
-    plane transfer (2 B/input byte), not the sum of the stages."""
+    """Multi-chunk hybrid encode, pipelined AND chunk-parallel: the stream
+    uploads once, each chunk row's u16 best-delta plane is computed
+    on-device and pulled back quad by quad, and the chunk walks run
+    CONCURRENTLY on a host thread pool (each ~508 KiB chunk's dictionary is
+    simply the preceding 64 KiB of the stream, so chunks share nothing —
+    tlz4_hybrid_walk_chunk); tlz4_hybrid_stitch merges the per-chunk wires
+    (pending literal tails fold into the next chunk's first sequence
+    header). Steady state off-tunnel is max(plane kernel, walk/ncores); on
+    this dev setup the d2h plane transfer dominates instead."""
     import ctypes
     from concurrent.futures import ThreadPoolExecutor
 
@@ -687,15 +704,45 @@ def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
         for q in qstarts
     ]
 
-    cap = get_maximum_output_size(n_data)
-    out = np.empty(cap, np.uint8)
-    state = np.zeros(3, np.int64)
-    state[0] = state[1] = dlen
     lib = _hybrid_lib()
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    rc = 0
+
+    # one flat wire buffer, a fixed-capacity region per chunk: walks write
+    # their region directly, the stitch consumes (buffer, offsets) with no
+    # concatenation pass
+    ccap = 16 + 4 + (_CHUNK_C * 110) // 100 + 16
+    wirebuf = np.empty(nrows * ccap, np.uint8)
+    wire_off = (np.arange(nrows, dtype=np.int64) * ccap)
+    wire_len = np.zeros(nrows, np.int64)
+    tails = np.zeros(nrows, np.int64)
+    chunk_start = dlen + np.arange(nrows, dtype=np.int64) * _CHUNK_C
+    plane_len = _CHUNK_W // _PLANE_POOL
+    pool_shift = _PLANE_POOL.bit_length() - 1
+    planes = [None] * nrows  # keep fetched planes alive until their walk
+
+    def walk_one(i):
+        tail = np.zeros(1, np.int64)
+        rc = lib.tlz4_hybrid_walk_chunk(
+            G.ctypes.data_as(u8p), g_len,
+            planes[i].ctypes.data_as(u16p),
+            starts[i], int(chunk_start[i]), limits[i],
+            plane_len, pool_shift,
+            wirebuf[wire_off[i] :].ctypes.data_as(u8p), ccap,
+            1 if i == nrows - 1 else 0,
+            tail.ctypes.data_as(i64p),
+        )
+        if rc < 0:
+            return rc
+        wire_len[i] = rc
+        tails[i] = tail[0]
+        return rc
+
+    from ..parallel.pipeline import _plan_executor
+
+    wx = _plan_executor()
+    walk_futs = []
     with ThreadPoolExecutor(1) as ex:
         fut = ex.submit(np.asarray, quads[0])
         for q in range(nquads):
@@ -703,20 +750,23 @@ def _compress_hybrid_streaming(G, g_len, dlen, n_data) -> bytes:
             if q + 1 < nquads:
                 fut = ex.submit(np.asarray, quads[q + 1])
             for i in range(R * q, min(R * q + R, nrows)):
-                plane = np.ascontiguousarray(quad[i - R * q])
-                rc = lib.tlz4_hybrid_walk_row(
-                    G.ctypes.data_as(u8p), g_len,
-                    plane.ctypes.data_as(u16p),
-                    starts[i], limits[i], _CHUNK_W // _PLANE_POOL,
-                    _PLANE_POOL.bit_length() - 1,
-                    state.ctypes.data_as(i64p),
-                    out.ctypes.data_as(u8p), cap,
-                    1 if i == nrows - 1 else 0,
-                )
-                if rc < 0:
-                    break
-            if rc < 0:
-                break
+                planes[i] = np.ascontiguousarray(quad[i - R * q])
+                walk_futs.append(wx.submit(walk_one, i))
+        rcs = [f.result() for f in walk_futs]
+    cap = get_maximum_output_size(n_data)
+    if any(rc < 0 for rc in rcs):
+        from ..block.errors import CompressOutputTooSmall
+
+        raise CompressOutputTooSmall(cap)
+    out = np.empty(cap, np.uint8)
+    rc = lib.tlz4_hybrid_stitch(
+        G.ctypes.data_as(u8p), g_len,
+        wirebuf.ctypes.data_as(u8p),
+        wire_off.ctypes.data_as(i64p), wire_len.ctypes.data_as(i64p),
+        chunk_start.ctypes.data_as(i64p), tails.ctypes.data_as(i64p),
+        nrows,
+        out.ctypes.data_as(u8p), cap,
+    )
     if rc < 0:
         from ..block.errors import CompressOutputTooSmall
 
