@@ -23,6 +23,7 @@
 #include <cstring>
 #include <cstddef>
 #include <cstdio>
+#include <sys/mman.h>
 #include <cstdlib>
 #include <chrono>
 
@@ -843,6 +844,10 @@ bool skip_origin = false, skip_scan = false, skip_set = false;
 // lit = literal-image copies, idx = piece-index pushes, mat = the
 // materialization memcpys themselves (depth checks still run)
 bool skip_lit = false, skip_idx = false, skip_mat = false;
+// Packer selection: the dense reserved-fire packer wins on big tiles
+// (TILE_ROWS >= 512); the legacy soft-boundary packer is cheaper at 256.
+// Set per call from tile_rows (TLZ4_DENSE_PACK=0/1 overrides for A/B).
+bool dense_pack = false;
 // skip_pack: drop ring_pack_tile; skip_push: drop record buffering too
 bool skip_pack = false, skip_push = false;
 // TLZ4_HARD_GROUPS=1: pad every depth group to a whole fire (pre-soft
@@ -1225,6 +1230,178 @@ int ring_pack_tile(RingTile& c) {
     const int64_t tbase = (int64_t)c.t * cap;
     const size_t nstreams = c.gs->size();
 
+    if (!hard_groups && !dense_pack) {
+        // ---- legacy soft-boundary packer (production at TILE_ROWS=256):
+        // identical fire counts to the dense packer there (the depth chain
+        // binds, not padding) at ~3 ms-CPU less bookkeeping. The dense
+        // reserved-fire packer below takes over at TILE_ROWS >= 512, where
+        // per-group flushes would multiply across the bigger tile's
+        // groups (measured 2872 vs ~4000 fires on 10 MB text).
+        // ---- match groups: soft boundaries ----
+        int64_t k = 0;
+        // Two write-row sets per open fire: W collects every append; Wfz
+        // (frozen) holds only writes from groups STRICTLY BELOW the current
+        // one — candidates are checked against Wfz alone, because a group-d
+        // record's sources (bytes of depth < d) can never be bytes written
+        // by same-group records (each byte has exactly one depth), so
+        // same-group row sharing is provably safe and must not pad.
+        const int32_t WR = g.window_rows, TR = g.tile_rows;
+        uint64_t W[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        uint64_t Wfz[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        bool fire_per = false;
+        // Per-tile local profiling counters: a per-RECORD atomic fetch_add
+        // here measured 2x the whole plan-build wall (1.5 M contended
+        // atomics across 8 threads) — profiling must not distort what it
+        // measures. Flushed once per tile below.
+        int64_t lslots[18] = {0};
+        auto close_fire = [&](int64_t upto) {  // pad [k, upto), flag, reset
+            if (upto > k) {
+                // Only f2's row sentinel is load-bearing for a pad slot:
+                // row == tile_rows makes the kernel's lane mask (row < TR)
+                // AND the scatter one-hot (rowsTR == row) both reject the
+                // record, so garbage f0/f1 never reaches the output —
+                // pulls land on some row and are discarded. Full stamping
+                // only under TLZ4_DETERMINISTIC (byte-identical plans for
+                // diffing across pool generations / thread counts).
+                if (deterministic_fill) {
+                    stamp_i32(g.f0, tbase + k, tbase + upto, 0);
+                    stamp_i32(g.f1, tbase + k, tbase + upto, 127 << 7);
+                }
+                stamp_i32(g.f2, tbase + k, tbase + upto, g.tile_rows << 7);
+            }
+            if (fire_per) {
+                int64_t f = (upto - 1) / RB;
+                g.fper[(int64_t)c.t * nfw + (f >> 5)] |= 1 << (f & 31);
+            }
+            std::memset(W, 0, sizeof(W));
+            std::memset(Wfz, 0, sizeof(Wfz));
+            fire_per = false;
+            k = upto;
+        };
+        bool wfz_any = false;  // Wfz all-zero => no conflict possible
+        // Pending-defer buffers (plain / periodic), per-worker persistent.
+        static thread_local std::vector<int32_t> pd0[2], pd1[2], pd2[2];
+        pd0[0].clear(); pd1[0].clear(); pd2[0].clear();
+        pd0[1].clear(); pd1[1].clear(); pd2[1].clear();
+        int32_t cur_gi = 1;
+        bool ovf = false;
+        // Drain the pending lists into the (fresh) open fire. Only called
+        // right after a close_fire, so Wfz is empty and nothing conflicts.
+        auto drain_pending = [&]() {
+            for (int pp = 0; pp < 2; pp++) {
+                int32_t n = (int32_t)pd0[pp].size();
+                int32_t i = 0;
+                while (i < n) {
+                    int32_t room = (int32_t)(RB - (k % RB));
+                    int32_t m = n - i < room ? n - i : room;
+                    if (k + m > cap) { ovf = true; return; }
+                    stream_copy_i32(g.f0 + tbase + k, pd0[pp].data() + i, m);
+                    stream_copy_i32(g.f1 + tbase + k, pd1[pp].data() + i, m);
+                    stream_copy_i32(g.f2 + tbase + k, pd2[pp].data() + i, m);
+                    for (int32_t q = i; q < i + m; q++) {
+                        int32_t wrow = (pd2[pp][q] >> 7) & 511;
+                        W[wrow >> 6] |= 1ull << (wrow & 63);
+                    }
+                    fire_per |= pp == 1;
+                    lslots[cur_gi < 17 ? cur_gi : 17] += m;
+                    k += m;
+                    i += m;
+                    if (!(k % RB)) close_fire(k);  // Wfz stays empty
+                }
+                pd0[pp].clear(); pd1[pp].clear(); pd2[pp].clear();
+            }
+        };
+        for (int32_t gi = 1; (size_t)2 * gi < nstreams && !ovf; gi++) {
+            cur_gi = gi;
+            std::memcpy(Wfz, W, sizeof(W));  // freeze prior groups' writes
+            wfz_any = (Wfz[0] | Wfz[1] | Wfz[2] | Wfz[3] | Wfz[4] | Wfz[5] |
+                       Wfz[6] | Wfz[7]) != 0;
+            for (int pass = 0; pass < 2 && !ovf; pass++) {
+                size_t sid = 2 * (size_t)gi + pass;
+                if (sid >= nstreams) break;
+                const bool per = pass == 1;  // streams segregate periodic
+                for (RecChunk* ch = (*c.gs)[sid].head; ch && !ovf;
+                     ch = ch->next) {
+                    int32_t i = 0;
+                    while (i < ch->n) {
+                        // span = up to the next fire boundary / chunk end
+                        int32_t room = (int32_t)(RB - (k % RB));
+                        int32_t lim = ch->n - i < room ? ch->n : i + room;
+                        // first conflicting record in [i, lim): a read row
+                        // written by an EARLIER group in the open fire
+                        // (periodic records pull rows r0 and r0+1); Wfz is
+                        // constant within the span, so scan then bulk-copy
+                        int32_t j = i;
+                        if (wfz_any) {
+                            for (; j < lim; j++) {
+                                int32_t r0 = (ch->v0[j] >> 7) - WR;
+                                bool hit = (uint32_t)r0 < (uint32_t)TR &&
+                                           ((Wfz[r0 >> 6] >> (r0 & 63)) & 1);
+                                if (per && !hit) {
+                                    int32_t r1 = r0 + 1;
+                                    hit = (uint32_t)r1 < (uint32_t)TR &&
+                                          ((Wfz[r1 >> 6] >> (r1 & 63)) & 1);
+                                }
+                                if (hit) break;
+                            }
+                        } else {
+                            j = lim;
+                        }
+                        if (j > i) {
+                            int32_t m = j - i;
+                            if (k + m > cap) return TLZ4_PLAN_OVF_SLOT;
+                            stream_copy_i32(g.f0 + tbase + k, ch->v0 + i, m);
+                            stream_copy_i32(g.f1 + tbase + k, ch->v1 + i, m);
+                            stream_copy_i32(g.f2 + tbase + k, ch->v2 + i, m);
+                            for (int32_t q = i; q < j; q++) {
+                                int32_t wrow = (ch->v2[q] >> 7) & 511;
+                                W[wrow >> 6] |= 1ull << (wrow & 63);
+                            }
+                            fire_per |= per;
+                            lslots[gi < 17 ? gi : 17] += m;
+                            k += m;
+                            if (!(k % RB)) {
+                                close_fire(k);
+                                wfz_any = false;  // fresh fire: Wfz cleared
+                                drain_pending();
+                                if (ovf) break;
+                            }
+                            i = j;
+                        }
+                        if (j < lim) {  // conflict at j: defer the record
+                            pd0[per].push_back(ch->v0[j]);
+                            pd1[per].push_back(ch->v1[j]);
+                            pd2[per].push_back(ch->v2[j]);
+                            i = j + 1;
+                        }
+                        if (k >= cap && i < ch->n) return TLZ4_PLAN_OVF_SLOT;
+                    }
+                }
+            }
+            // Group-end flush: pending records conflict with the open
+            // fire's earlier-group writes by construction, and the NEXT
+            // group may read rows they write — close and drain before
+            // advancing.
+            if (!ovf &&
+                (!pd0[0].empty() || !pd0[1].empty())) {
+                if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
+                drain_pending();
+            }
+        }
+        if (ovf) return TLZ4_PLAN_OVF_SLOT;
+        if (k % RB) close_fire(((k + RB - 1) / RB) * RB);
+        if (k > cap) return TLZ4_PLAN_OVF_SLOT;
+        g.nf_tot[c.t] = (int32_t)(k / RB);
+        if (prof_on) {
+            for (int i = 0; i < 18; i++)
+                if (lslots[i])
+                    prof_gslots[i].fetch_add(lslots[i],
+                                             std::memory_order_relaxed);
+        }
+        return 0;
+    }
+
+
     if (!hard_groups) {
         // ---- dense packing with reserved-fire deferral (round 5) ----
         // The former scheme (soft boundaries + pending-defer) still closed
@@ -1574,6 +1751,10 @@ TLZ4_HOT inline int ring_emit_lit_frag(RingTile& c, int64_t p, int64_t pe,
 }
 
 inline int ring_emit_lit(RingTile& c, int64_t p0, int32_t len, int64_t csrc) {
+    if (len <= 16 && p0 + 16 <= c.te && csrc + 16 <= c.g->input_len) {
+        std::memcpy(c.g->lit_init + p0, c.g->input + csrc, 16);
+        return 0;
+    }
     std::memcpy(c.g->lit_init + p0, c.g->input + csrc, (size_t)len);
     return 0;
 }
@@ -1633,9 +1814,16 @@ TLZ4_HOT inline int ring_emit_plain(RingTile& c, int64_t p0, int32_t span, int64
                 : (int32_t)depth_range_max(c.dloc, s0 - c.ts,
                                            s0 + span - c.ts);
         if (dmax == 0) {
-            if (!skip_mat)
-                std::memcpy(gg.lit_init + p0, gg.lit_init + s0,
-                            (size_t)span);
+            // wild 16-byte copy for the common short span: overrun bytes
+            // land in later pieces of the SAME tile (output order), which
+            // overwrite them; guards keep both ends inside the tile
+            if (!skip_mat) {
+                if (span <= 16 && p0 + 16 <= c.te && s0 + 16 <= c.te)
+                    std::memcpy(gg.lit_init + p0, gg.lit_init + s0, 16);
+                else
+                    std::memcpy(gg.lit_init + p0, gg.lit_init + s0,
+                                (size_t)span);
+            }
             return 0;
         }
     }
@@ -2440,6 +2628,25 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     // record arrays regardless; the frame layer batches long streams).
     if (input_len >= (size_t)INT32_MAX || expected_out >= (int64_t)INT32_MAX)
         return TLZ4_PLAN_OVERFLOW;
+#ifdef MADV_HUGEPAGE
+    // Ask for transparent hugepages on the big pooled buffers (the record
+    // fields and the literal image are tens of MB, touched with ~random
+    // per-record stores — 4 KiB TLB entries miss constantly). Repeated
+    // madvise on the same (pooled, persistent) ranges is cheap; failures
+    // are advisory and ignored.
+    {
+        auto thp = [](const void* p, size_t len) {
+            uintptr_t a = (uintptr_t)p & ~(uintptr_t)4095;
+            size_t l = ((uintptr_t)p + len + 4095 & ~(uintptr_t)4095) - a;
+            madvise((void*)a, l, MADV_HUGEPAGE);
+        };
+        size_t recs = (size_t)ntiles * nfmax * rb * 4;
+        thp(f0, recs);
+        thp(f1, recs);
+        thp(f2, recs);
+        thp(lit_init, (size_t)ntiles * tile_rows * 128);
+    }
+#endif
     const bool prof = std::getenv("TLZ4_PLAN_PROF") != nullptr;
     prof_on = prof;
     if (const char* sk = std::getenv("TLZ4_SKIP")) {
@@ -2458,6 +2665,8 @@ TLZ4_API int64_t tlz4_build_ring_plan2(
     }
     {
         hard_groups = std::getenv("TLZ4_HARD_GROUPS") != nullptr;
+        const char* dp = std::getenv("TLZ4_DENSE_PACK");
+        dense_pack = dp ? dp[0] != '0' : tile_rows >= 512;
         deterministic_fill = std::getenv("TLZ4_DETERMINISTIC") != nullptr;
         no_mat = std::getenv("TLZ4_NO_MAT") != nullptr;
         // NT record stores iff the packed field arrays wouldn't comfortably
