@@ -241,20 +241,25 @@ def main() -> None:
     ok = ok and chk_ok
 
     # Kernel-capability line: the default plan trades kernel headroom for
-    # host plan time (RESOLVE_MIN_DEPTH=16 keeps the pipeline plan-bound);
-    # a resolve_min_depth=8 plan minimizes fires and shows what the ring
-    # kernel itself sustains when the host is not the constraint (e.g. on
-    # a beefier host or with more host cores per chip).
+    # host plan time (RESOLVE_MIN_DEPTH=16, TILE_ROWS=256 keep the pipeline
+    # plan-bound on this 4-core host); a 512-row-tile rmd=12 plan halves
+    # the per-tile depth-chain fire tax and shows what the ring kernel
+    # itself sustains when the host is not the constraint (a production
+    # host with more cores per chip runs this config plan-side too —
+    # experiments/tr512_ab.py).
     try:
-        plan8 = build_ring_plan(comp_np, n, resolve_min_depth=8)
+        plan8 = build_ring_plan(
+            comp_np, n, tile_rows=512, resolve_min_depth=12
+        )
         arrs8 = [jnp.asarray(a) for a in ring_plan_device_arrays(plan8)]
         f_k8 = lambda: ring_decode_jit(
-            *arrs8, ntiles=arrs8[0].shape[0], nf=arrs8[3].shape[1], ntot=ntot
+            *arrs8, ntiles=arrs8[0].shape[0], nf=arrs8[3].shape[1],
+            ntot=ntot, tile_rows=512,
         )
         ok8 = lane_sum(f_k8()[1]) == ring_checksum_expected(data)
         t_k8 = device_time(f_k8, sync=lambda r: r[1])
         print(
-            f"decode ring kernel capability (min-fire plan, rmd=8, "
+            f"decode ring kernel capability (TR=512 rmd=12 min-fire plan, "
             f"{int(plan8.nf_tot.sum())} fires): {t_k8*1e3:.2f} ms "
             f"({n/t_k8/2**20:.0f} MiB/s) incl. on-device checksum, ok={ok8}",
             file=sys.stderr,

@@ -614,7 +614,8 @@ def decode_block_ring(comp, total_out: int, *, plan: RingPlan | None = None,
             return None
     arrs = ring_plan_device_arrays(plan)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
-                          nf=arrs[3].shape[1], interpret=interpret)
+                          nf=arrs[3].shape[1], interpret=interpret,
+                          tile_rows=plan.tile_rows)
     # cast to bytes ON DEVICE before fetching: the kernel's tile output
     # is int32 lanes; pulling it raw moves 4x the decoded bytes over
     # PCIe (or this dev setup's ~20 MB/s tunnel)
@@ -670,7 +671,8 @@ def dispatch_parts_ring(
         return None
     arrs = ring_plan_device_arrays(plan)
     out = ring_decode_jit(*arrs, ntiles=_bucket(plan.ntiles),
-                          nf=arrs[3].shape[1], interpret=interpret)
+                          nf=arrs[3].shape[1], interpret=interpret,
+                          tile_rows=plan.tile_rows)
     import jax.numpy as jnp
 
     # cast to bytes ON DEVICE: fetching raw int32 lanes moves 4x the
@@ -739,17 +741,19 @@ def ring_plan_device_arrays(plan: RingPlan, comp=None):
 
 
 def ring_decode_jit(nft, fp, init, f0, f1, f2, *, ntiles, nf,
-                    interpret=False, ntot=None):
+                    interpret=False, ntot=None, tile_rows=TILE_ROWS):
     """Run the ring kernel. With ``ntot`` (an int32 (1,) array holding the
     decoded byte count) the kernel also returns a (1, 128) int32 lane-partial
     position-weighted checksum over the decoded bytes (in-kernel consumer;
     sum the lanes mod 2**32 and compare against
-    :func:`ring_checksum_expected`)."""
+    :func:`ring_checksum_expected`). ``tile_rows`` must match the plan's
+    (the 512-row variant halves the per-tile depth-chain fire tax on
+    kernel-bound hosts; see experiments/tr512_ab.py)."""
     cs = ntot is not None
-    key = (ntiles, nf, f0.shape[2], bool(interpret), cs)
+    key = (ntiles, nf, f0.shape[2], bool(interpret), cs, tile_rows)
     fn = _KERNEL_CACHE.get(key)
     if fn is None:
-        fn = _kernel_call(ntiles, nf, RB_=f0.shape[2],
+        fn = _kernel_call(ntiles, nf, TR=tile_rows, RB_=f0.shape[2],
                           interpret=interpret, checksum=cs)
         _KERNEL_CACHE[key] = fn
     if cs:

@@ -261,3 +261,34 @@ def test_encode_hybrid_small_and_incompressible():
     for data in [b"", b"a", b"abcd" * 4, bytes(rng.integers(0, 256, 4096))]:
         comp = compress_block_hybrid(data)
         assert block.decompress(comp, len(data)) == data
+
+
+def test_hybrid_streaming_multichunk_roundtrip():
+    """The chunk-parallel streaming hybrid encoder (>1 chunk: concurrent
+    walks + stitch of pending literal tails into the next chunk's first
+    sequence) must roundtrip through the independent host decoder, with and
+    without an external dictionary."""
+    from lz4_flex_tpu.ops.encode import _CHUNK_C, compress_block_hybrid
+
+    rng = np.random.default_rng(11)
+    vocab = [
+        bytes(rng.integers(97, 123, rng.integers(3, 9)).tobytes())
+        for _ in range(256)
+    ]
+    n = int(_CHUNK_C * 2.5)
+    data = b" ".join(
+        vocab[rng.integers(0, len(vocab))] for _ in range(n // 6)
+    )[:n]
+    comp = compress_block_hybrid(data)
+    assert block.decompress(comp, len(data)) == data
+    assert len(comp) < len(data)  # really compressed
+
+    dic = data[-65536:]
+    tail = data[: _CHUNK_C + 50_000]
+    cd = compress_block_hybrid(tail, ext_dict=dic)
+    assert block.decompress_with_dict(cd, len(tail), dic) == tail
+
+    # matchless (incompressible) chunks exercise the pending-run stitch
+    rnd = rng.integers(0, 256, _CHUNK_C + 70_000, dtype=np.uint8).tobytes()
+    cr = compress_block_hybrid(rnd)
+    assert block.decompress(cr, len(rnd)) == rnd

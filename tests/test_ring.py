@@ -282,3 +282,47 @@ def test_kernel_interpret_inline_checksum(corpus_34k):
     # depends on the decoded bytes)
     out2 = ring_decode_jit(*arrs, **kw)
     assert np.asarray(out2, np.uint8).reshape(-1)[: len(data)].tobytes() == data
+
+
+def test_plan_sim_tr512_dense_packer(corpus_set):
+    """512-row tiles route through the dense reserved-fire packer and the
+    widened row mask (2*TR-1 keeps the pad sentinel distinct from row 0);
+    plans must stay byte-exact under the numpy simulator and produce fewer
+    fires than the 256-row default on chain-heavy content."""
+    from lz4_flex_tpu.ops.ringdecode import simulate_ring_plan
+
+    for data in corpus_set.values():
+        data = data[: 3 * 65536]
+        if not data:
+            continue
+        comp = _u8(block.compress(data))
+        p512 = build_ring_plan(comp, len(data), tile_rows=512)
+        assert p512 is not None and p512.tile_rows == 512
+        assert simulate_ring_plan(p512) == data
+
+
+def test_kernel_interpret_tr512(corpus_34k):
+    """The Pallas kernel at TILE_ROWS=512 (interpret mode) must decode the
+    dense-packed plan byte-exactly, including the periodic/RLE paths."""
+    import jax.numpy as jnp
+
+    from lz4_flex_tpu.ops.ringdecode import (
+        _bucket,
+        ring_decode_jit,
+        ring_plan_device_arrays,
+    )
+
+    for data in (
+        corpus_34k + corpus_34k[:32768],
+        b"ab" * 40000 + corpus_34k[:9999] + b"\x00" * 7777,
+    ):
+        comp = _u8(block.compress(data))
+        plan = build_ring_plan(comp, len(data), tile_rows=512)
+        assert plan is not None
+        arrs = [jnp.asarray(a) for a in ring_plan_device_arrays(plan)]
+        out = ring_decode_jit(
+            *arrs, ntiles=_bucket(plan.ntiles), nf=arrs[3].shape[1],
+            interpret=True, tile_rows=512,
+        )
+        got = np.asarray(out, np.uint8).reshape(-1)[: len(data)].tobytes()
+        assert got == data
