@@ -48,7 +48,18 @@ import numpy as np
 
 from ..block import errors as block_errors
 
-TILE_ROWS = 256  # 32 KiB output tile
+import os as _os
+
+# 32 KiB output tile by default. TLZ4_TILE_ROWS=512 (64 KiB tiles) halves
+# the per-tile depth-chain fire tax — kernel 9.7 -> 6.2 ms/10 MB text,
+# 1.9 GiB/s at rmd=12 (experiments/tr512_ab.py) — at ~+1.5-2 ms of host
+# plan build (bigger tiles turn ring sources into in-tile chains that
+# chase). Choose 512 when the host has enough cores per chip that the
+# kernel, not the plan, binds the pipeline; the 4-core dev default stays
+# 256. Must be a power of two.
+TILE_ROWS = int(_os.environ.get("TLZ4_TILE_ROWS", "256"))
+if TILE_ROWS & (TILE_ROWS - 1) or not 64 <= TILE_ROWS <= 1024:
+    raise ValueError(f"TLZ4_TILE_ROWS must be a power of two in [64, 1024], got {TILE_ROWS}")
 WINDOW_ROWS = 512  # 64 KiB LZ4 window
 RB = 256  # records per fire. Measured RB=512 SLOWER (31.4 vs 27.0 ms kernel
 #           on the 10 MB corpus): depth-group padding waste and the larger
