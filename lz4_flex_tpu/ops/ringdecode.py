@@ -23,11 +23,16 @@ fire j = k // RB consumes the contiguous record row j):
   f1 = ph | (P-1)<<7 | lo<<14
   f2 = (len-1) | row<<7      row == TR is the padding sentinel (no scatter)
 
-The stream is match records by depth asc with soft fire boundaries: a fire's
-pulls all read the table before its writes, and the packer starts a new fire
-early only when a record would read a row an earlier-depth record in the
-open fire wrote. Every record's sources are literal-image bytes, earlier
-fires' writes, or ring bytes outside the tile.
+The stream is match records by depth asc: a fire's pulls all read the
+table before its writes, so the packer only has to keep a record out of
+any fire where a LOWER-depth record already wrote one of its read rows.
+Two packers implement that (native ring_pack_tile): the legacy
+soft-boundary packer (fires flush at depth-group ends — production at
+TILE_ROWS=256, where fire count is bound by the depth chain anyway) and
+the round-5 dense reserved-fire packer (conflicting records defer with an
+exact reserved fire index; selected at TILE_ROWS>=512, where per-group
+flushes would multiply). Every record's sources are literal-image bytes,
+earlier fires' writes, or ring bytes outside the tile.
 
 Round-4 record diet: the builder MATERIALIZES every match whose source
 bytes are already final in the literal image (depth-0, in-tile) — literal-
@@ -37,6 +42,14 @@ pieces resolve through a lazy per-piece chase over a sparse index instead
 of a per-byte origin map. Only ring-rooted content reaches the kernel
 (~40% fewer records on text, 2-3x fewer on repetitive corpora), and tiles
 whose plan flags zero periodic fires run a branch-free fire loop.
+
+Round-5 fire economics: fires/tile ≈ the depth-chain length, NOT
+records/RB — so the big fire lever is the tile size. TLZ4_TILE_ROWS=512
+(64 KiB tiles) halves the chain tax: 2,353 fires / 5.1 ms / 1.9 GiB/s on
+the 10 MB text corpus at resolve_min_depth=12 (vs 5,334 / 9.7 ms at the
+256-row default), for ~+2 ms of host plan (bigger tiles turn ring sources
+into in-tile chains that chase). Pick 512 on hosts with enough cores per
+chip that the kernel, not the plan build, binds the pipeline.
 """
 
 from __future__ import annotations
