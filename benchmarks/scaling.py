@@ -135,25 +135,29 @@ def main():
     # ~cores/lanes; a production host with more cores extends it.
     from lz4_flex_tpu.parallel.pipeline import stage_ring_groups
 
+    # Fixed production-scale spans (2 MiB of 64 KiB blocks per device)
+    # regardless of the wiring-test args above: tiny spans only measure
+    # executor/submit overhead, not build overlap.
+    pw_bs, pw_bpd = 65536, 32
     rows3 = []
     for nd in sizes:
-        nblocks = nd * args.blocks_per_device
+        nblocks = nd * pw_bpd
         data = b" ".join(
             vocab[rng.integers(0, len(vocab))]
-            for _ in range(nblocks * args.block_size // 6)
-        )[: nblocks * args.block_size]
+            for _ in range(nblocks * pw_bs // 6)
+        )[: nblocks * pw_bs]
         payloads = [
-            blk.compress(data[i : i + args.block_size])
-            for i in range(0, len(data), args.block_size)
+            blk.compress(data[i : i + pw_bs])
+            for i in range(0, len(data), pw_bs)
         ]
         per = -(-len(payloads) // nd)
         groups = [payloads[i * per : (i + 1) * per] for i in range(nd)]
-        staged = stage_ring_groups(groups, args.block_size)  # warm pools
+        staged = stage_ring_groups(groups, pw_bs)  # warm pools
         assert staged is not None
         best = float("inf")
         for _ in range(max(3, args.iters)):
             t0 = time.perf_counter()
-            stage_ring_groups(groups, args.block_size)
+            stage_ring_groups(groups, pw_bs)
             best = min(best, time.perf_counter() - t0)
         rows3.append((nd, len(data), best * 1e3))
 
