@@ -163,3 +163,81 @@ def test_decode_poisoned_buffer_no_leak():
     assert n1 == n2 == len(data)
     assert out_ff[:n1].tobytes() == data
     assert out_00[:n2].tobytes() == data
+
+
+def test_corrupt_ring_plan_loop_tr512():
+    """The same corrupt-input contract for 512-row tiles (the dense
+    reserved-fire packer + widened row masks): typed error, overflow
+    fallback, or a simulation that matches the host decoder exactly."""
+    import numpy as np
+
+    from lz4_flex_tpu.ops.ringdecode import build_ring_plan, simulate_ring_plan
+
+    rng = random.Random(0x512)
+    base = bytes(
+        rng.choice(b"qrstuvwx \n") if rng.random() < 0.8 else rng.randrange(256)
+        for _ in range(80000)
+    )
+    valid = block.compress(base)
+    for i in range(120):
+        if i % 2 == 0:
+            buf = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 150)))
+            expect = rng.randrange(0, 400)
+        else:
+            b = bytearray(valid)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            buf = bytes(b)
+            expect = len(base)
+        arr = np.frombuffer(buf, np.uint8)
+        try:
+            host = block.decompress(buf, expect)
+        except DecompressError:
+            host = None
+        try:
+            plan = build_ring_plan(arr, expect, tile_rows=512)
+        except DecompressError:
+            continue
+        if plan is None:
+            continue
+        assert host is not None
+        assert simulate_ring_plan(plan, arr) == host
+
+
+def test_hybrid_streaming_boundary_fuzz():
+    """Chunk-parallel streaming encode at adversarial sizes around the
+    chunk boundary (pending-literal stitch, LSIC-threshold merges,
+    matchless chunks): every output must roundtrip through the
+    independent host decoder."""
+    import numpy as np
+
+    from lz4_flex_tpu.ops.encode import _CHUNK_C, compress_block_hybrid
+
+    rng = random.Random(0xC41F)
+    vocab = [
+        bytes(rng.randrange(97, 123) for _ in range(rng.randrange(3, 9)))
+        for _ in range(128)
+    ]
+
+    def corpus(n, mode):
+        if mode == 0:  # compressible text
+            out = b" ".join(
+                vocab[rng.randrange(len(vocab))] for _ in range(n // 5 + 2)
+            )
+            return out[:n]
+        if mode == 1:  # incompressible
+            return bytes(rng.randrange(256) for _ in range(n))
+        # alternating: random head, compressible tail (matchless chunk 0)
+        h = bytes(rng.randrange(256) for _ in range(n // 2))
+        t = (b"pattern! " * (n // 18 + 1))[: n - len(h)]
+        return h + t
+
+    for delta in (-7, -1, 0, 1, 13):
+        for mode in (0, 1, 2):
+            for mult in (1, 2):
+                n = _CHUNK_C * mult + delta
+                data = corpus(n, mode)
+                comp = compress_block_hybrid(data)
+                assert block.decompress(comp, len(data)) == data, (
+                    delta, mode, mult,
+                )
